@@ -1,0 +1,185 @@
+"""Scoring backends: pluggable span-scoring behind one interface.
+
+The reference scores every candidate span against every label embedding
+with a masked dot product — ground truth formula
+``sigmoid(einsum("lkd,bpd->bplk", span_rep, struct_proj))``
+(ref Scripts/dump_gliner2_tensors.py:83, SpanHead/GLiNER2SpanScoreBuilder.swift:44-69).
+
+This container has no torch/onnxruntime, so the transformer encoder is
+behind a swappable backend (exactly the strategy the reference's own tests
+use — GLiNER2SchemaProjectorTests feed fake sequential hidden states):
+
+  * GazetteerSpec    — deterministic lexicon backend. Drives the golden
+                       parity tests (entities/offsets/scores/NMS pinned by
+                       ref python_outputs.json) and the flagship KG query
+                       over the synthetic corpus.
+  * HashEmbeddingSpec— deterministic hashed bi-encoder: hashed word/label
+                       embeddings, vectorized span mean-pooling + cosine
+                       scoring. Cost-shaped like the real model (dense
+                       [spans x dim] @ [dim x labels] per doc); used for
+                       benchmarks. Mean pooling mirrors ref
+                       Inference/SpanBuilder.swift:84-108; cosine mirrors
+                       ref Inference/SimilarityScorer.swift:77-100.
+
+Specs are tiny picklable dataclasses (broadcast with the query); the heavy
+state is built lazily ONCE PER PYTHON WORKER via ``get_backend`` — the
+Spark analogue of the reference's compile-once Core ML model reuse
+(ref Models/GLiNEREncoder.swift:222-232) and label-embedding cache
+(ref Inference/LabelEncoder.swift:10-51). Keep
+``spark.python.worker.reuse=true`` so the cache survives across tasks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from glinerswift_spark.scoring.core import logit
+
+NEG_INF = float(-1e30)
+
+
+@dataclass(frozen=True)
+class GazetteerSpec:
+    """(lowercased surface, label) -> score in (0,1). Frozen/picklable."""
+
+    entries: tuple = ()  # tuple of ((surface_lower, label), score)
+
+    @staticmethod
+    def from_dict(lexicon: dict) -> "GazetteerSpec":
+        return GazetteerSpec(entries=tuple(sorted(lexicon.items())))
+
+    def build(self) -> "GazetteerBackend":
+        return GazetteerBackend(dict(self.entries))
+
+
+@dataclass(frozen=True)
+class HashEmbeddingSpec:
+    dim: int = 64
+    seed: int = 42
+    scale: float = 8.0
+    bias: float = -4.0
+
+    def build(self) -> "HashEmbeddingBackend":
+        return HashEmbeddingBackend(self.dim, self.seed, self.scale, self.bias)
+
+
+class GazetteerBackend:
+    def __init__(self, lexicon: dict):
+        self.lexicon = lexicon
+
+    def score_document(
+        self, text: str, spans: list, labels: list
+    ) -> np.ndarray:
+        """logits [n_words, max_width, n_labels]; -inf where unmatched."""
+        from glinerswift_spark.config import DEFAULT_CONFIG
+
+        n = len(spans)
+        max_w = DEFAULT_CONFIG.max_span_width
+        out = np.full((n, max_w, len(labels)), NEG_INF, dtype=np.float64)
+        label_idx = {lb: i for i, lb in enumerate(labels)}
+        for s in range(n):
+            for w in range(min(max_w, n - s)):
+                surface = text[spans[s][0] : spans[s + w][1]].lower()
+                for lb, li in label_idx.items():
+                    sc = self.lexicon.get((surface, lb))
+                    if sc is not None:
+                        out[s, w, li] = logit(sc)
+        return out
+
+
+def _hash_vec(token: str, dim: int, seed: int) -> np.ndarray:
+    h = hashlib.md5(f"{seed}:{token}".encode()).digest()
+    rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+    v = rng.standard_normal(dim)
+    return v / np.linalg.norm(v)
+
+
+class HashEmbeddingBackend:
+    def __init__(self, dim: int, seed: int, scale: float, bias: float):
+        self.dim = dim
+        self.seed = seed
+        self.scale = scale
+        self.bias = bias
+        self._word_cache: dict = {}
+        self._label_cache: dict = {}
+
+    def _word(self, w: str) -> np.ndarray:
+        v = self._word_cache.get(w)
+        if v is None:
+            v = self._word_cache[w] = _hash_vec(w.lower(), self.dim, self.seed)
+        return v
+
+    def _labels(self, labels: list) -> np.ndarray:
+        key = tuple(labels)
+        m = self._label_cache.get(key)
+        if m is None:
+            m = np.stack([_hash_vec("label:" + lb, self.dim, self.seed) for lb in labels])
+            self._label_cache[key] = m
+        return m
+
+    def score_document(self, text: str, spans: list, labels: list) -> np.ndarray:
+        from glinerswift_spark.config import DEFAULT_CONFIG
+
+        n = len(spans)
+        max_w = DEFAULT_CONFIG.max_span_width
+        n_lb = len(labels)
+        if n == 0 or n_lb == 0:
+            return np.full((n, max_w, n_lb), NEG_INF)
+
+        words = np.stack([self._word(text[s:e]) for s, e in spans])  # [n, d]
+        prefix = np.vstack([np.zeros((1, self.dim)), np.cumsum(words, axis=0)])
+        lab = self._labels(labels)  # [L, d]
+
+        out = np.full((n, max_w, n_lb), NEG_INF, dtype=np.float64)
+        for w in range(max_w):
+            m = n - w
+            if m <= 0:
+                break
+            # mean-pooled span embedding for all spans of width w+1, at once
+            span_emb = (prefix[w + 1 : w + 1 + m] - prefix[:m]) / (w + 1)
+            norms = np.linalg.norm(span_emb, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            cos = (span_emb / norms) @ lab.T  # [m, L]
+            out[:m, w, :] = cos * self.scale + self.bias
+        return out
+
+
+_BACKEND_CACHE: dict = {}
+
+
+def get_backend(spec):
+    """Per-Python-worker backend singleton (model loaded once per worker)."""
+    key = spec
+    b = _BACKEND_CACHE.get(key)
+    if b is None:
+        b = _BACKEND_CACHE[key] = spec.build()
+    return b
+
+
+# ---------------------------------------------------------------------------
+# Flagship gazetteer over the synthetic corpus vocabulary (/root/testdata
+# documents.parquet). Deterministic scores: 0.6 + (len(term) % 40) / 100 —
+# chosen to be exactly re-computable in ANSI SQL for the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+OPERATOR_TERMS = ("scan", "join", "sort", "merge", "filter", "agg", "hash", "group")
+OBJECT_TERMS = ("table", "column", "row", "key", "vector", "stream", "batch", "query")
+
+
+def term_score(term: str) -> float:
+    return 0.6 + (len(term) % 40) / 100.0
+
+
+def flagship_gazetteer() -> GazetteerSpec:
+    lex = {}
+    for t in OPERATOR_TERMS:
+        lex[(t, "operator")] = term_score(t)
+    for t in OBJECT_TERMS:
+        lex[(t, "object")] = term_score(t)
+    return GazetteerSpec.from_dict(lex)
+
+
+FLAGSHIP_LABELS = ["operator", "object"]

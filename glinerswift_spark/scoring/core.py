@@ -1,0 +1,158 @@
+"""Per-document extraction kernels: span enumeration, greedy decode, merge.
+
+These are the pure (numpy + python) kernels that run INSIDE the Arrow
+batches of the Spark `mapInPandas` extraction operator — they are the
+Spark-side analogue of the reference's span head:
+
+  * span enumeration: all (start_word, width) with width < max_width and
+    end inside the document (ref Tokenization/GLiNERTokenizer.swift:470-491,
+    SpanHead/SpanScorer.swift:88-105);
+  * decode: sigmoid >= threshold -> greedy flat non-overlap selection
+    (any-label overlap rejected, exact-duplicate range rejected), final
+    order (start asc, score desc) (ref SpanHead/SpanDecoder.swift:12-100);
+  * cross-chunk merge: flatten, sort score desc, drop an entity iff an
+    already-kept SAME-LABEL entity has equal lowercased text or char-range
+    overlap (ref Inference/ChunkProcessor.swift:14-72).
+
+Tie-breaking is pinned (score desc, then candidate enumeration order
+(start, width, label) via stable sort) — mirrors the Python ground truth
+in ref Scripts/generate_test_fixtures.py:80-106, which uses a stable sort.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class Entity:
+    """ref Models/Entity.swift:4-26 — char offsets into the original text."""
+
+    text: str
+    label: str
+    score: float
+    start: int
+    end: int
+
+
+def sigmoid(x):
+    x = np.asarray(x, dtype=np.float64)
+    out = np.empty_like(x)
+    pos = x >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+    ex = np.exp(x[~pos])
+    out[~pos] = ex / (1.0 + ex)
+    return out
+
+
+def logit(p: float) -> float:
+    p = min(max(float(p), 1e-12), 1.0 - 1e-12)
+    return math.log(p / (1.0 - p))
+
+
+def enumerate_spans(num_words: int, max_width: int) -> list[tuple[int, int]]:
+    """All (start_word, width) with the span fully inside the document.
+
+    Enumeration order (start asc, width asc) is part of the pinned
+    tie-break total order.
+    """
+    return [
+        (s, w)
+        for s in range(num_words)
+        for w in range(1, min(max_width, num_words - s) + 1)
+    ]
+
+
+def decode_spans(
+    logits: np.ndarray,
+    labels: list[str],
+    threshold: float,
+    text: str,
+    spans: list[tuple[int, int]],
+) -> list[Entity]:
+    """sigmoid+threshold -> greedy flat NMS -> char-offset entities.
+
+    ``logits``: float array [n_words, max_width, n_labels] (-inf = masked).
+    ``spans``: word char ranges [(start, end), ...].
+    """
+    n_words = len(spans)
+    if n_words == 0 or not labels or logits.size == 0:
+        return []
+
+    probs = sigmoid(logits)
+    keep = np.argwhere(probs >= threshold)
+    if keep.size == 0:
+        return []
+
+    # candidates in enumeration order (start, width, label) — argwhere is
+    # row-major so this IS that order; the stable sort below preserves it
+    # for ties, pinning the tie-break total order.
+    candidates = []
+    for s, w, li in keep:
+        e = s + w  # inclusive end word
+        if e >= n_words:
+            continue
+        candidates.append((int(s), int(e), int(li), float(probs[s, w, li])))
+    if not candidates:
+        return []
+
+    # greedy flat NMS (ref SpanDecoder.swift:71-96)
+    candidates.sort(key=lambda c: -c[3])  # stable: ties keep enum order
+    chosen: list[tuple[int, int, int, float]] = []
+    for cand in candidates:
+        s, e, li, score = cand
+        ok = True
+        for cs, ce, _, _ in chosen:
+            if (s == cs and e == ce) or not (s > ce or cs > e):
+                ok = False
+                break
+        if ok:
+            chosen.append(cand)
+
+    chosen.sort(key=lambda c: (c[0], -c[3]))  # ref SpanDecoder.swift:80-85
+    out = []
+    for s, e, li, score in chosen:
+        cs = spans[s][0]
+        ce = spans[e][1]
+        out.append(Entity(text[cs:ce], labels[li], score, cs, ce))
+    return out
+
+
+def shift_entities(entities: list[Entity], offset: int) -> list[Entity]:
+    """ref GLiNERModel.swift:481-491 — re-add chunk start offset."""
+    if offset == 0:
+        return entities
+    return [
+        Entity(e.text, e.label, e.score, e.start + offset, e.end + offset)
+        for e in entities
+    ]
+
+
+def merge_chunk_entities(per_chunk: list[list[Entity]]) -> list[Entity]:
+    """Cross-chunk dedup (ref Inference/ChunkProcessor.swift:14-72).
+
+    Single chunk passes through untouched (including its order).
+    """
+    if not per_chunk:
+        return []
+    if len(per_chunk) == 1:
+        return per_chunk[0]
+    flat = [e for chunk in per_chunk for e in chunk]
+    flat.sort(key=lambda e: -e.score)  # stable
+    selected: list[Entity] = []
+    for ent in flat:
+        dup = False
+        for ex in selected:
+            if ex.label != ent.label:
+                continue
+            if ex.text.lower() == ent.text.lower() or (
+                ex.start < ent.end and ent.start < ex.end
+            ):
+                dup = True
+                break
+        if not dup:
+            selected.append(ent)
+    return selected

@@ -1,0 +1,58 @@
+"""Single-document extraction pipeline (pure; shared by tests + Spark op).
+
+Mirrors the reference's per-document lifecycle
+(ref GLiNERModel.swift:120-156, 462-491):
+
+  text --(should_chunk?)--> [chunks] --(score+decode per chunk)-->
+  shift offsets by chunk start --> cross-chunk merge --> [Entity]
+
+Short documents skip chunk handling entirely (single-chunk passthrough,
+ref GLiNERModel.swift:469-471). The Spark operator calls this per row
+inside `mapInPandas`, so chunk fan-out/merge happens WITHIN one task —
+no shuffle is ever needed for chunk reassembly.
+"""
+
+from __future__ import annotations
+
+from glinerswift_spark.config import Configuration, DEFAULT_CONFIG
+from glinerswift_spark.functions.chunker import chunk_text, should_chunk
+from glinerswift_spark.functions.text import word_spans
+from glinerswift_spark.scoring.core import (
+    Entity,
+    decode_spans,
+    merge_chunk_entities,
+    shift_entities,
+)
+
+
+def extract_document(
+    text: str,
+    labels: list[str],
+    backend,
+    threshold: float | None = None,
+    config: Configuration = DEFAULT_CONFIG,
+) -> list[Entity]:
+    if not text or not labels:
+        return []  # ref GLiNERModel.swift:126,363 — empty in, empty out
+    thr = config.threshold if threshold is None else threshold
+
+    def run(piece: str) -> list[Entity]:
+        spans = word_spans(piece)
+        if not spans:
+            return []
+        logits = backend.score_document(piece, spans, labels)
+        return decode_spans(logits, labels, thr, piece, spans)
+
+    if not should_chunk(text, config.chunk_max_words):
+        return run(text)
+
+    chunks = chunk_text(
+        text,
+        max_chars=config.chunk_max_characters,
+        overlap=config.chunk_overlap_characters,
+        max_words=config.chunk_max_words,
+    )
+    if len(chunks) <= 1:
+        return run(text)
+    per_chunk = [shift_entities(run(c.text), c.start) for c in chunks]
+    return merge_chunk_entities(per_chunk)

@@ -1,0 +1,100 @@
+"""Adversarial NMS / decode / threshold semantics (ref SpanDecoder.swift)."""
+
+import numpy as np
+
+from glinerswift_spark.functions.text import word_spans
+from glinerswift_spark.scoring.core import (
+    decode_spans,
+    enumerate_spans,
+    logit,
+    merge_chunk_entities,
+    Entity,
+    shift_entities,
+)
+
+NEG = -1e30
+
+
+def _logits(n_words, max_w, labels, entries):
+    out = np.full((n_words, max_w, len(labels)), NEG)
+    for (s, w, li), score in entries.items():
+        out[s, w, li] = logit(score)
+    return out
+
+
+def test_span_enumeration_bounds():
+    spans = enumerate_spans(3, 8)
+    assert (0, 3) in spans and (2, 1) in spans
+    assert all(s + w <= 3 for s, w in spans)
+    assert spans == sorted(spans)  # pinned enumeration order
+
+
+def test_overlap_suppression_any_label():
+    # "New York City" (higher) suppresses overlapping "York" even with a
+    # different label — flat NMS (ref SpanDecoder.swift:88-96).
+    text = "New York City"
+    ws = word_spans(text)
+    lg = _logits(3, 8, ["a", "b"], {(0, 2, 0): 0.9, (1, 0, 1): 0.8})
+    got = decode_spans(lg, ["a", "b"], 0.3, text, ws)
+    assert [(g.text, g.label) for g in got] == [("New York City", "a")]
+
+
+def test_exact_duplicate_range_rejected():
+    text = "Paris"
+    ws = word_spans(text)
+    lg = _logits(1, 8, ["x", "y"], {(0, 0, 0): 0.7, (0, 0, 1): 0.9})
+    got = decode_spans(lg, ["x", "y"], 0.3, text, ws)
+    assert [(g.label, round(g.score, 6)) for g in got] == [("y", 0.9)]
+
+
+def test_threshold_edge_inclusive():
+    # score == threshold is kept (>=, ref SpanDecoder.swift:36)
+    text = "alpha"
+    ws = word_spans(text)
+    lg = _logits(1, 8, ["l"], {(0, 0, 0): 0.5})
+    assert len(decode_spans(lg, ["l"], 0.5, text, ws)) == 1
+    assert len(decode_spans(lg, ["l"], 0.5000001, text, ws)) == 0
+
+
+def test_tiebreak_enum_order_stable():
+    # equal scores: earlier (start,width,label) enumeration wins
+    text = "a b"
+    ws = word_spans(text)
+    lg = _logits(2, 8, ["l"], {(0, 1, 0): 0.8, (1, 0, 0): 0.8})
+    got = decode_spans(lg, ["l"], 0.3, text, ws)
+    assert [(g.start, g.end) for g in got] == [(0, 3)]
+
+
+def test_output_order_start_asc_score_desc():
+    text = "x y z"
+    ws = word_spans(text)
+    lg = _logits(3, 8, ["l"], {(2, 0, 0): 0.9, (0, 0, 0): 0.6})
+    got = decode_spans(lg, ["l"], 0.3, text, ws)
+    assert [g.text for g in got] == ["x", "z"]
+
+
+def test_empty_inputs():
+    assert decode_spans(np.zeros((0, 8, 1)), ["l"], 0.3, "", []) == []
+    text = "hi"
+    ws = word_spans(text)
+    assert decode_spans(np.zeros((1, 8, 0)), [], 0.3, text, ws) == []
+
+
+def test_merge_chunks_same_label_dedup():
+    a = Entity("Apple Inc.", "org", 0.9, 20, 30)
+    b = Entity("apple inc.", "org", 0.7, 500, 510)  # same lowered text
+    c = Entity("Apple Inc.", "person", 0.8, 20, 30)  # other label survives
+    d = Entity("Cupertino", "loc", 0.6, 25, 34)  # overlaps a but other label
+    merged = merge_chunk_entities([[a, d], [b, c]])
+    assert a in merged and c in merged and d in merged and b not in merged
+
+
+def test_merge_single_chunk_passthrough():
+    a = Entity("x", "l", 0.2, 0, 1)
+    assert merge_chunk_entities([[a]]) == [a]
+
+
+def test_shift_entities():
+    a = Entity("x", "l", 0.5, 3, 4)
+    (s,) = shift_entities([a], 100)
+    assert (s.start, s.end) == (103, 104)
