@@ -1,0 +1,176 @@
+"""Deduplication operators over a documents table.
+
+Training-data-pipeline staples, each a pure DataFrame -> DataFrame
+transform designed for the 100 TB shape:
+
+  exact_dedup            hash-groupBy: one shuffle on md5(text); map-side
+                         partial aggregation keeps the shuffle tiny.
+  minhash_candidate_pairs
+                         banded MinHash LSH: signatures computed scan-side
+                         (no Python), candidates from an equi-join on
+                         (band, signature) — never an all-pairs join.
+  ngram_jaccard_pairs    exact verification: shared-shingle equi-join ->
+                         intersection counts -> jaccard filter. Pair
+                         blowup bounded by dropping shingles with document
+                         frequency > max_df (boilerplate guard) before the
+                         join.
+  embedding_neardup_pairs
+                         cosine >= tau within a blocking key (label),
+                         fold-based dot product in whole-stage codegen.
+
+All signatures/scores are recomputable in ANSI SQL — the DuckDB oracle in
+__spark_entry__.py runs the same formulas verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from glinerswift_spark.functions.hashing import (
+    cosine,
+    minhash_band_sig,
+    shingles_expr,
+    words_col,
+)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: (text_hash, n_docs, keeper). keeper = min id."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper"),
+        )
+    )
+
+
+def doc_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shingles array) for docs with at least n words."""
+    w = words_col(text_col)
+    return (
+        df.select(F.col(id_col), w.alias("__w"))
+        .where(F.size("__w") >= n)
+        .select(id_col, shingles_expr(F.col("__w"), n).alias("shingles"))
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b) sharing any band signature.
+
+    ``max_bucket_size`` drops degenerate buckets (identical boilerplate at
+    web scale) before the self-join — the quadratic guard.
+    """
+    sh = doc_shingles(df, n, text_col, id_col)
+    sigs = sh.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        minhash_band_sig(F.col("shingles"), b).alias("sig"),
+                    )
+                    for b in range(1, num_bands + 1)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "bs.band", "bs.sig")
+
+    bounded = sigs.join(
+        sigs.groupBy("band", "sig")
+        .count()
+        .where(F.col("count") <= max_bucket_size)
+        .select("band", "sig"),
+        ["band", "sig"],
+    )
+    a = bounded.select(F.col("band"), F.col("sig"), F.col(id_col).alias("doc_a"))
+    b = bounded.select(F.col("band"), F.col("sig"), F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with n-gram jaccard >= threshold.
+
+    jaccard over DISTINCT shingle sets; candidates = pairs sharing >= 1
+    (non-boilerplate, if max_df) shingle.
+    """
+    sh = doc_shingles(df, n, text_col, id_col)
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    ex = sh.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    if max_df is not None:
+        keep = ex.groupBy("sh").count().where(F.col("count") <= max_df).select("sh")
+        ex = ex.join(keep, "sh")
+    a = ex.select(F.col(id_col).alias("doc_a"), "sh")
+    b = ex.select(F.col(id_col).alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """(vec_a, vec_b, cos) pairs with cosine >= threshold, blocked by
+    ``block_col`` so the join is an equi-join, never a cross join."""
+    cols = [id_col, vec_col] + ([block_col] if block_col else [])
+    base = emb.select(*cols)
+    a = base.select(
+        *([F.col(block_col)] if block_col else []),
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = base.select(
+        *([F.col(block_col)] if block_col else []),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    on = [block_col] if block_col else []
+    joined = a.join(b, on=on) if on else a.crossJoin(b)
+    c = cosine(F.col("__va"), F.col("__vb"))
+    return (
+        joined.where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(c, 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

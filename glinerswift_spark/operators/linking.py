@@ -1,0 +1,121 @@
+"""[NORTH-RULE, no ref] entity linking: blocking -> verification -> canonicalization.
+
+mentions(mention_id, url, text, label, embedding) ->
+  1. blocking: MinHash-LSH over character shingles of the lowercased
+     surface form (same banded-min-md5 construction as document dedup) —
+     candidate pairs only ever come from an equi-join on (band, sig),
+     never an all-pairs join; same-label pairs only.
+  2. verification: cosine(embedding_a, embedding_b) >= threshold
+     (cosine math mirrors ref Inference/SimilarityScorer.swift:77-100).
+  3. canonicalization: connected components over verified pairs;
+     canonical_id = min(mention_id) in the component.
+
+Output: nodes(canonical_id, label, surface_forms, n_mentions),
+        mention_map(mention_id -> canonical_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from glinerswift_spark.config import LinkingConfig
+from glinerswift_spark.functions.hashing import cosine, minhash_band_sig
+from glinerswift_spark.operators.components import connected_components
+
+
+def char_shingles(col, n: int):
+    lower = F.lower(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(lower) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substr(lower, i, F.lit(n))))
+
+
+def mention_candidate_pairs(
+    mentions: DataFrame, cfg: LinkingConfig | None = None
+) -> DataFrame:
+    """(mention_a, mention_b) candidates: same label, shared LSH band sig."""
+    cfg = cfg or LinkingConfig()
+    sh = mentions.select(
+        "mention_id",
+        "label",
+        char_shingles(F.col("text"), cfg.shingle_size).alias("__sh"),
+    )
+    sigs = sh.select(
+        "mention_id",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        minhash_band_sig(F.col("__sh"), b).alias("sig"),
+                    )
+                    for b in range(1, cfg.num_bands + 1)
+                ]
+            )
+        ).alias("bs"),
+    ).select("mention_id", "label", "bs.band", "bs.sig")
+    a = sigs.select("label", "band", "sig", F.col("mention_id").alias("mention_a"))
+    b = sigs.select("label", "band", "sig", F.col("mention_id").alias("mention_b"))
+    return (
+        a.join(b, ["label", "band", "sig"])
+        .where(F.col("mention_a") < F.col("mention_b"))
+        .select("mention_a", "mention_b")
+        .distinct()
+    )
+
+
+def verify_pairs_by_cosine(
+    pairs: DataFrame, mentions: DataFrame, cfg: LinkingConfig | None = None
+) -> DataFrame:
+    """Join candidate pairs to embeddings twice; keep cosine >= threshold."""
+    cfg = cfg or LinkingConfig()
+    ea = mentions.select(
+        F.col("mention_id").alias("mention_a"), F.col("embedding").alias("__ea")
+    )
+    eb = mentions.select(
+        F.col("mention_id").alias("mention_b"), F.col("embedding").alias("__eb")
+    )
+    c = cosine(F.col("__ea"), F.col("__eb"))
+    return (
+        pairs.join(ea, "mention_a")
+        .join(eb, "mention_b")
+        .select("mention_a", "mention_b", F.round(c, 6).alias("cos"))
+        .where(F.col("cos") >= cfg.cosine_threshold)
+    )
+
+
+def canonicalize(
+    mentions: DataFrame, verified_pairs: DataFrame, cfg: LinkingConfig | None = None
+):
+    """-> (mention_map(mention_id, canonical_id), nodes)."""
+    cfg = cfg or LinkingConfig()
+    cc = connected_components(
+        verified_pairs, src="mention_a", dst="mention_b",
+        max_iterations=cfg.max_cc_iterations,
+    )
+    mention_map = (
+        mentions.select("mention_id")
+        .join(cc.withColumnRenamed("node", "mention_id"), "mention_id", "left")
+        .select(
+            "mention_id",
+            F.coalesce("component", "mention_id").alias("canonical_id"),
+        )
+    )
+    nodes = (
+        mentions.join(mention_map, "mention_id")
+        .groupBy("canonical_id", "label")
+        .agg(
+            F.sort_array(F.collect_set("text")).alias("surface_forms"),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+    )
+    return mention_map, nodes
+
+
+def link_mentions(mentions: DataFrame, cfg: LinkingConfig | None = None):
+    """Full linking stage -> (mention_map, nodes, verified_pairs)."""
+    cfg = cfg or LinkingConfig()
+    pairs = mention_candidate_pairs(mentions, cfg)
+    verified = verify_pairs_by_cosine(pairs, mentions, cfg)
+    mention_map, nodes = canonicalize(mentions, verified, cfg)
+    return mention_map, nodes, verified

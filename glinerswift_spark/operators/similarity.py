@@ -1,0 +1,123 @@
+"""Similarity search over an embedding column (array<float>).
+
+``cosine_topk``  — brute-force baseline: query set x corpus, fold-based
+                   dot products in whole-stage codegen, per-query top-k via
+                   row_number. The query side is broadcast (queries are
+                   always the small side), so the corpus is scanned ONCE
+                   with no shuffle of the big side — at 100 TB this is a
+                   map-only pass plus a tiny per-query top-k shuffle.
+``lsh_bucketed_topk``
+                   — scale path: random-hyperplane (SimHash) bucketing;
+                   each vector lands in one bucket per table, candidates
+                   search only their buckets. Hyperplanes are derived
+                   deterministically from md5 seeds (same construction as
+                   scoring/backends._hash_vec) and shipped as literal
+                   arrays — recall is tuned by (num_tables, num_bits).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+from glinerswift_spark.functions.hashing import cosine, dot_product
+from glinerswift_spark.scoring.backends import _hash_vec
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank) — rank by round(cos,6) desc, id asc."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def _hyperplanes(num_bits: int, dim: int, seed: int, table: int) -> np.ndarray:
+    return np.stack(
+        [_hash_vec(f"hp:{table}:{b}", dim, seed) for b in range(num_bits)]
+    )
+
+
+def bucket_signature(vec_col, planes: np.ndarray):
+    """Sign-bit bucket id of a vector against literal hyperplanes."""
+    bits = []
+    for i, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(dot_product(F.col(vec_col), lit) >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_bits: int = 8,
+    num_tables: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in any table."""
+    tagged_c = None
+    tagged_q = None
+    for t in range(num_tables):
+        planes = _hyperplanes(num_bits, dim, seed, t)
+        sig = bucket_signature(vec_col, planes)
+        c_t = emb.select(
+            F.lit(t).alias("tbl"), sig.alias("bucket"),
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+        )
+        q_t = queries.select(
+            F.lit(t).alias("tbl"), sig.alias("bucket"),
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        )
+        tagged_c = c_t if tagged_c is None else tagged_c.unionByName(c_t)
+        tagged_q = q_t if tagged_q is None else tagged_q.unionByName(q_t)
+
+    cand = (
+        F.broadcast(tagged_q)
+        .join(tagged_c, ["tbl", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -1,0 +1,103 @@
+"""Text-analysis operators: token counts, quality scoring, language ID,
+document fingerprinting. All pure column expressions (whole-stage codegen,
+zero Python) — at 100 TB these run at scan speed with full column pruning.
+
+Each has a verbatim ANSI-SQL twin in the DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from glinerswift_spark.functions.hashing import rolling_word_fingerprint, words_col
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+CLASS_KEYWORDS = {
+    "query_heavy": ("scan", "join", "filter", "agg", "group", "sort"),
+    "data_heavy": ("table", "row", "column", "key", "value", "data"),
+    "stream_heavy": ("stream", "batch", "window", "spark"),
+}
+
+
+def _count_in(words, terms) -> F.Column:
+    return F.size(F.filter(words, lambda w: w.isin(*terms)))
+
+
+def token_count(df: DataFrame) -> DataFrame:
+    w = words_col()
+    return df.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_types"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+def quality_score(df: DataFrame) -> DataFrame:
+    """quality = 0.4*type_token_ratio + 0.3*(1-stopword_ratio) + 0.3*min(1, n/100)."""
+    w = words_col()
+    base = df.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_types"),
+        _count_in(w, EN_STOPWORDS).alias("n_stop"),
+    ).where(F.col("n_tokens") > 0)
+    ttr = F.col("n_types") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    quality = (
+        F.lit(0.4) * ttr
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
+    )
+    return base.select(
+        "doc_id",
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame) -> DataFrame:
+    """Stopword-marker language guess (deterministic heuristic)."""
+    w = words_col()
+    n_en = _count_in(w, EN_STOPWORDS)
+    return df.select(
+        "doc_id",
+        F.when(n_en >= 2, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
+        n_en.alias("n_markers"),
+    )
+
+
+def doc_fingerprint(df: DataFrame) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document."""
+    return df.select(
+        "doc_id", rolling_word_fingerprint(words_col()).alias("fingerprint")
+    )
+
+
+def classify_keyword(df: DataFrame) -> DataFrame:
+    """Keyword-count classifier: top-1 label by count, ties -> label asc.
+
+    The relational analogue of the reference's classification task top-1
+    (ref API/GLiNER2.swift:330-332 — max-by-score)."""
+    w = words_col()
+    # argmax via array_max over struct(cnt, rk, label): rk reverses the
+    # alphabetical order so equal counts resolve to the alphabetically
+    # FIRST label (pinned tie-break).
+    labels_sorted = sorted(CLASS_KEYWORDS)
+    ranked = F.array(
+        *[
+            F.struct(
+                _count_in(w, CLASS_KEYWORDS[lb]).alias("cnt"),
+                F.lit(len(labels_sorted) - i).alias("rk"),
+                F.lit(lb).alias("label"),
+            )
+            for i, lb in enumerate(labels_sorted)
+        ]
+    )
+    top = F.array_max(ranked)
+    return df.select(
+        "doc_id",
+        top["label"].alias("top_label"),
+        top["cnt"].alias("top_count"),
+    )

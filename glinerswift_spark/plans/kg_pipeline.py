@@ -1,0 +1,182 @@
+"""Flagship KG-construction pipeline compositions.
+
+Two equivalent shapes:
+
+``extract_triples_fused``
+    documents -> mapInPandas(chunk + score + NMS + merge + relation
+    templating) -> triples. ZERO shuffles from scan to triples — the whole
+    per-document dataflow runs inside one task. This is the 100 TB path:
+    at a trillion documents, any per-stage materialization/shuffle of
+    entity rows would dominate; fusing keeps the only shuffles in the
+    (much smaller) downstream graph stages.
+
+``build_kg``
+    the composable version: extract -> triples (self-join) -> linking ->
+    connected components -> nodes/edges. Each stage is a pure
+    DataFrame -> DataFrame transform (foreachBatch-compatible).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from glinerswift_spark.config import Configuration, DEFAULT_CONFIG, RelationConfig
+from glinerswift_spark.operators.extract import extract_entities
+from glinerswift_spark.operators.relations import (
+    entities_to_triples,
+    triples_from_entity_list,
+)
+from glinerswift_spark.scoring.backends import get_backend
+from glinerswift_spark.scoring.pipeline import extract_document
+
+
+def triple_output_schema(df: DataFrame, doc_col: str) -> StructType:
+    (doc_field,) = [f for f in df.schema.fields if f.name == doc_col]
+    return StructType(
+        [
+            StructField("subj", StringType()),
+            StructField("pred", StringType()),
+            StructField("obj", StringType()),
+            doc_field,
+            StructField("score", DoubleType()),
+        ]
+    )
+
+
+def extract_triples_fused(
+    df: DataFrame,
+    labels: list[str],
+    backend_spec,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    threshold: float | None = None,
+    config: Configuration = DEFAULT_CONFIG,
+    relation_cfg: RelationConfig | None = None,
+) -> DataFrame:
+    """documents -> triples with zero shuffles (single mapInPandas stage)."""
+    rcfg = relation_cfg or RelationConfig()
+    labels = list(labels)
+    out_schema = triple_output_schema(df, doc_col)
+    cols = [f.name for f in out_schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = get_backend(backend_spec)
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[doc_col], pdf[text_col]):
+                ents = extract_document(
+                    text, labels, backend, threshold=threshold, config=config
+                )
+                rows.extend(triples_from_entity_list(ents, rcfg, doc_id))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(doc_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def extract_and_link(
+    documents: DataFrame,
+    labels: list[str],
+    backend_spec,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    threshold: float | None = None,
+    config: Configuration = DEFAULT_CONFIG,
+    relation_cfg: RelationConfig | None = None,
+):
+    """Composable flagship: returns (entities, triples) DataFrames."""
+    entities = extract_entities(
+        documents,
+        labels,
+        backend_spec,
+        text_col=text_col,
+        id_cols=[doc_col],
+        threshold=threshold,
+        config=config,
+    )
+    triples = entities_to_triples(entities, relation_cfg, doc_col=doc_col)
+    return entities, triples
+
+
+def attach_embeddings(
+    mentions: DataFrame, embeddings: DataFrame, n_vecs: int | None = None
+) -> DataFrame:
+    """Deterministic surface->embedding assignment (FIXTURES.md §5): each
+    distinct lowercased surface maps to embeddings[xxhash64(surface) % N].
+    Same surface => identical vector => cosine 1.0, so linking clusters
+    same-surface mentions across documents; distinct surfaces get
+    pseudo-random vectors. The embeddings side is broadcast (it is the
+    small dimension table)."""
+    if n_vecs is None:
+        n_vecs = embeddings.count()
+    keyed = mentions.withColumn(
+        "vec_id", F.pmod(F.xxhash64(F.lower(F.col("text"))), F.lit(n_vecs))
+    )
+    emb = embeddings.select("vec_id", "embedding")
+    return keyed.join(F.broadcast(emb), "vec_id", "left").drop("vec_id")
+
+
+def build_kg(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    labels: list[str],
+    backend_spec,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    threshold: float | None = None,
+    config: Configuration = DEFAULT_CONFIG,
+    relation_cfg: RelationConfig | None = None,
+    linking_cfg=None,
+) -> dict:
+    """Full north-rule pipeline: documents -> entities -> triples ->
+    linking -> connected components -> nodes/edges. Returns every
+    intermediate as a DataFrame (each a pure transform; see
+    operators/checkpoint.py for the resumable materialization wrapper)."""
+    from glinerswift_spark.config import LinkingConfig
+    from glinerswift_spark.operators.graph import (
+        materialize_edges,
+        mentions_from_entities,
+        surface_to_canonical,
+    )
+    from glinerswift_spark.operators.linking import link_mentions
+
+    lcfg = linking_cfg or LinkingConfig()
+    entities, triples = extract_and_link(
+        documents, labels, backend_spec,
+        text_col=text_col, doc_col=doc_col, threshold=threshold,
+        config=config, relation_cfg=relation_cfg,
+    )
+    mentions = attach_embeddings(
+        mentions_from_entities(entities, doc_col), embeddings
+    )
+    mention_map, nodes, verified = link_mentions(mentions, lcfg)
+    surface_map = surface_to_canonical(
+        mentions.join(mention_map, "mention_id")
+    )
+    edges = materialize_edges(triples, surface_map, doc_col)
+    return {
+        "entities": entities,
+        "triples": triples,
+        "mentions": mentions,
+        "mention_map": mention_map,
+        "nodes": nodes,
+        "edges": edges,
+        "verified_pairs": verified,
+    }
+
+
+def top_relations(triples: DataFrame) -> DataFrame:
+    """Headline aggregate: most frequent (subj, pred, obj) edges."""
+    return (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("score"), 4).alias("avg_score"))
+        .orderBy(F.desc("n"), "subj", "pred", "obj")
+    )

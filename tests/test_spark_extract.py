@@ -1,0 +1,101 @@
+"""Spark extraction + relations operators on real testdata."""
+
+import pytest
+
+from glinerswift_spark.config import RelationConfig
+from glinerswift_spark.operators.extract import extract_entities
+from glinerswift_spark.operators.nms import dedup_chunk_entities, nms_entities
+from glinerswift_spark.operators.relations import entities_to_triples
+from glinerswift_spark.plans.kg_pipeline import extract_triples_fused, extract_and_link
+from glinerswift_spark.scoring.backends import (
+    FLAGSHIP_LABELS,
+    GazetteerSpec,
+    flagship_gazetteer,
+    term_score,
+)
+from glinerswift_spark.scoring.pipeline import extract_document
+from glinerswift_spark.sources.pages import read_documents
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_documents(spark, sf_dir)
+
+
+def test_extract_entities_matches_local_pipeline(spark, docs):
+    spec = flagship_gazetteer()
+    sample = docs.limit(20).cache()
+    got = (
+        extract_entities(sample, FLAGSHIP_LABELS, spec, threshold=0.5)
+        .orderBy("doc_id", "start", "label")
+        .collect()
+    )
+    backend = spec.build()
+    exp = []
+    for row in sample.orderBy("doc_id").collect():
+        for e in extract_document(row.text, FLAGSHIP_LABELS, backend, threshold=0.5):
+            exp.append((row.doc_id, e.label, e.text, e.start, e.end))
+    assert [(r.doc_id, r.label, r.entity, r.start, r.end) for r in got] == sorted(
+        exp, key=lambda t: (t[0], t[3], t[1])
+    )
+    assert len(got) > 0
+
+
+def test_fused_triples_equal_composable_triples(spark, docs):
+    spec = flagship_gazetteer()
+    sample = docs.limit(50)
+    rcfg = RelationConfig()
+    fused = extract_triples_fused(sample, FLAGSHIP_LABELS, spec, relation_cfg=rcfg)
+    _, composed = extract_and_link(sample, FLAGSHIP_LABELS, spec, relation_cfg=rcfg)
+    key = lambda r: (r.doc_id, r.subj, r.pred, r.obj, round(r.score, 9))
+    assert sorted(map(key, fused.collect())) == sorted(map(key, composed.collect()))
+    assert fused.count() > 0
+
+
+def test_nms_operator_matches_decode_semantics(spark):
+    rows = [
+        (1, "a", "New York City", 0.9, 0, 13),
+        (1, "b", "York", 0.8, 4, 8),
+        (1, "a", "Boston", 0.7, 20, 26),
+        (2, "a", "x", 0.5, 0, 1),
+        (2, "b", "x", 0.6, 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, label string, entity string, score double, start int, end int")
+    got = sorted(
+        (r.doc_id, r.entity, r.label)
+        for r in nms_entities(df, ["doc_id"]).collect()
+    )
+    assert got == [(1, "Boston", "a"), (1, "New York City", "a"), (2, "x", "b")]
+
+
+def test_chunk_dedup_operator(spark):
+    rows = [
+        (1, "org", "Apple Inc.", 0.9, 20, 30),
+        (1, "org", "apple inc.", 0.7, 500, 510),   # same-label lowered dup
+        (1, "person", "Apple Inc.", 0.8, 20, 30),  # other label survives
+        (1, "loc", "Cupertino", 0.6, 25, 34),      # overlap, other label
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, label string, entity string, score double, start int, end int")
+    got = sorted((r.label, r.start) for r in dedup_chunk_entities(df, ["doc_id"]).collect())
+    assert got == [("loc", 25), ("org", 20), ("person", 20)]
+
+
+def test_relation_templating_semantics(spark):
+    rcfg = RelationConfig(window_chars=10, templates={("a", "b"): "rel"})
+    rows = [
+        (1, "a", "s1", 0.9, 0, 5),
+        (1, "b", "o1", 0.8, 7, 9),    # gap 2 -> triple
+        (1, "b", "o2", 0.8, 30, 32),  # gap 25 -> too far
+        (1, "b", "o3", 0.8, 3, 4),    # overlaps -> no triple
+        (2, "b", "x", 0.5, 0, 1),     # wrong order (b then nothing)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, label string, entity string, score double, start int, end int")
+    got = [(r.subj, r.pred, r.obj, r.doc_id, r.score) for r in entities_to_triples(df, rcfg).collect()]
+    assert got == [("s1", "rel", "o1", 1, 0.8)]
+
+
+def test_gazetteer_scores_sql_recomputable():
+    # score formula must match the DuckDB oracle expression exactly
+    assert term_score("scan") == 0.6 + (4 % 40) / 100.0
+    spec = flagship_gazetteer()
+    assert all(0 < s < 1 for _, s in spec.entries)

@@ -1,0 +1,168 @@
+"""Dedup / similarity / textstats / CC / linking / checkpoint operators."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from glinerswift_spark.config import LinkingConfig
+from glinerswift_spark.operators.components import connected_components
+from glinerswift_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+)
+from glinerswift_spark.operators.linking import link_mentions
+from glinerswift_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+from glinerswift_spark.operators.textstats import (
+    classify_keyword,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from glinerswift_spark.sources.pages import read_documents, read_embeddings
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_documents(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_embeddings(spark, sf_dir).cache()
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    got = {(r.n_docs, r.keeper) for r in exact_dedup(df).collect()}
+    assert got == {(2, 1), (1, 3)}
+
+
+def test_minhash_pairs_find_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, "completely different words here now ok")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_candidate_pairs(df).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "z z z z z")],
+        "doc_id long, text string",
+    )
+    rows = ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+    # doc1 shingles {abc,bcd,cde}, doc2 {abc,bcd,cdx}: inter 2, union 4
+    assert got[(1, 2)] == 0.5
+    assert (1, 3) not in got
+
+
+def test_embedding_neardup_and_topk(spark, emb):
+    pairs = embedding_neardup_pairs(emb, threshold=0.4)
+    for r in pairs.collect():
+        assert r.cos >= 0.4 and r.vec_a < r.vec_b
+    queries = emb.where(F.col("vec_id") < 3)
+    topk = cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in topk:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        assert all(rows[i][1] >= rows[i + 1][1] for i in range(len(rows) - 1))
+
+
+def test_lsh_topk_subset_of_bruteforce_space(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    approx = lsh_bucketed_topk(emb, queries, k=3, num_bits=4, num_tables=2)
+    rows = approx.collect()
+    assert len(rows) > 0
+    assert all(r.rank <= 3 for r in rows)
+
+
+def test_textstats_ops(spark, docs):
+    tc = token_count(docs.limit(5)).collect()
+    for r in tc:
+        assert r.n_tokens > 0 and r.n_types <= r.n_tokens
+    qs = quality_score(docs.limit(5)).collect()
+    for r in qs:
+        assert 0.0 < r.quality <= 1.0
+    li = lang_id(docs.limit(5)).collect()
+    assert all(r.lang_pred in ("en", "und") for r in li)
+    fp = doc_fingerprint(docs.limit(5)).collect()
+    assert all(0 <= r.fingerprint < 1_000_000_007 for r in fp)
+    cl = classify_keyword(docs.limit(5)).collect()
+    assert all(r.top_label in ("data_heavy", "query_heavy", "stream_heavy") for r in cl)
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a")], "doc_id long, text string"
+    )
+    fps = {r.doc_id: r.fingerprint for r in doc_fingerprint(df).collect()}
+    assert fps[1] != fps[2]
+
+
+def test_connected_components_known_graph(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+    )
+    got = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)}
+
+
+def test_linking_clusters_surface_variants(spark):
+    # FIXTURES.md §5: {"Apple Inc.", "apple inc", "Apple"} cluster via
+    # shared shingles + identical embeddings; distant embedding separates.
+    v_close = [1.0, 0.0, 0.0, 0.0]
+    v_far = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (1, "u1", "Apple Inc.", "org", v_close),
+        (2, "u2", "apple inc", "org", v_close),
+        (3, "u3", "Apple Incorporated", "org", v_far),   # shingle-similar, far embedding
+        (4, "u4", "Zebra", "org", v_close),              # no shingle overlap
+    ]
+    mentions = spark.createDataFrame(
+        rows, "mention_id long, url string, text string, label string, embedding array<double>"
+    )
+    cfg = LinkingConfig(shingle_size=3, num_bands=4, cosine_threshold=0.99)
+    mention_map, nodes, verified = link_mentions(mentions, cfg)
+    mapping = {r.mention_id: r.canonical_id for r in mention_map.collect()}
+    assert mapping[1] == mapping[2] == 1
+    assert mapping[3] == 3 and mapping[4] == 4
+    node_rows = nodes.collect()
+    forms = {r.canonical_id: list(r.surface_forms) for r in node_rows}
+    assert forms[1] == ["Apple Inc.", "apple inc"]
+
+
+def test_checkpoint_resume_idempotent(spark, docs, tmp_path):
+    from glinerswift_spark.operators.checkpoint import run_stage_with_checkpoint
+
+    root = str(tmp_path / "ckpt")
+    sample = docs.limit(40)
+
+    calls = []
+
+    def transform(df):
+        calls.append(1)
+        return token_count(df)
+
+    out1 = run_stage_with_checkpoint(
+        spark, sample, transform, root, "tokstats", "doc_id", num_buckets=8
+    ).collect()
+    # second run: everything done -> transform not invoked again
+    out2 = run_stage_with_checkpoint(
+        spark, sample, transform, root, "tokstats", "doc_id", num_buckets=8
+    ).collect()
+    assert len(calls) == 1
+    key = lambda r: r.doc_id
+    assert sorted(map(key, out1)) == sorted(map(key, out2))
+    assert len(out1) == 40
