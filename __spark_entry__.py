@@ -1,38 +1,497 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship KG query on /root/testdata/sf0.001.
+``queries()``      — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()``   — DuckDB-equivalent ANSI SQL for every SQL-expressible
+                     query (views documents/embeddings pre-registered).
+                     Non-SQL-expressible entries (iterative CC is given a
+                     WITH RECURSIVE oracle; pure-inference ops get
+                     rows-only checks) are noted inline.
+
+Column names are aliased identically on both sides; every float column is
+rounded identically on both sides so the order-insensitive value-hash
+matches bit-for-bit.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from glinerswift_spark.config import RelationConfig
+from glinerswift_spark.scoring.backends import (
+    FLAGSHIP_LABELS,
+    OBJECT_TERMS,
+    OPERATOR_TERMS,
+    flagship_gazetteer,
+    term_score,
+)
+
+THRESHOLD = 0.5
+JACCARD_TAU = 0.5
+COS_TAU = 0.4
+ANN_K = 5
+ANN_QUERY_MOD = 97
+LSH_MAX_BUCKET = 1000
+RELATION_WINDOW = 100
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_kg_entities(spark, sf_dir):
+    from glinerswift_spark.operators.extract import extract_entities
+
+    ents = extract_entities(
+        _docs(spark, sf_dir), FLAGSHIP_LABELS, flagship_gazetteer(),
+        threshold=THRESHOLD,
+    )
+    return ents.select(
+        "doc_id", "label", "entity",
+        F.round("score", 4).alias("score"), "start", "end",
+    )
+
+
+def _q_kg_triples(spark, sf_dir):
+    from glinerswift_spark.plans.kg_pipeline import extract_triples_fused
+
+    t = extract_triples_fused(
+        _docs(spark, sf_dir), FLAGSHIP_LABELS, flagship_gazetteer(),
+        threshold=THRESHOLD, relation_cfg=RelationConfig(window_chars=RELATION_WINDOW),
+    )
+    return t.select(
+        "subj", "pred", "obj", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_kg_top_relations(spark, sf_dir):
+    return (
+        _q_kg_triples(spark, sf_dir)
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_kg_entity_summary(spark, sf_dir):
+    # A5/A6: group entities by label; distinct surface report
+    ents = _q_kg_entities(spark, sf_dir)
+    return ents.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("entity").alias("n_surfaces"),
+        F.concat_ws("|", F.sort_array(F.collect_set("entity"))).alias("surfaces"),
+    )
+
+
+def _q_exact_dedup(spark, sf_dir):
+    from glinerswift_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    from glinerswift_spark.operators.dedup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(
+        _docs(spark, sf_dir), n=3, num_bands=4, max_bucket_size=LSH_MAX_BUCKET
+    )
+
+
+def _q_ngram_jaccard_dups(spark, sf_dir):
+    from glinerswift_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=JACCARD_TAU)
+
+
+def _q_near_dedup_components(spark, sf_dir):
+    from glinerswift_spark.operators.components import connected_components
+    from glinerswift_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=JACCARD_TAU)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    from glinerswift_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=COS_TAU)
+
+
+def _q_ann_topk(spark, sf_dir):
+    from glinerswift_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return cosine_topk(emb, queries, k=ANN_K)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    # rows-only check: approximate ANN (bucketed) has no exact SQL twin
+    from glinerswift_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return lsh_bucketed_topk(emb, queries, k=ANN_K, num_bits=6, num_tables=2)
+
+
+def _q_token_count(spark, sf_dir):
+    from glinerswift_spark.operators.textstats import token_count
+
+    return token_count(_docs(spark, sf_dir))
+
+
+def _q_quality_score(spark, sf_dir):
+    from glinerswift_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    from glinerswift_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from glinerswift_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def _q_classify_keyword(spark, sf_dir):
+    from glinerswift_spark.operators.textstats import classify_keyword
+
+    return classify_keyword(_docs(spark, sf_dir))
+
+
+def _q_window_top_docs(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 3)
+    )
+
+
+def _q_bench_stats_lang(spark, sf_dir):
+    # A7 analogue: per-group stats (exact-arithmetic subset)
+    return _docs(spark, sf_dir).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def _q_kg_nodes(spark, sf_dir):
+    # rows-only: full linking stage (xxhash64 mention ids have no DuckDB twin)
+    from glinerswift_spark.plans.kg_pipeline import build_kg
+
+    kg = build_kg(
+        _docs(spark, sf_dir), _emb(spark, sf_dir),
+        FLAGSHIP_LABELS, flagship_gazetteer(), threshold=THRESHOLD,
+    )
+    return kg["nodes"].select(
+        "canonical_id", "label",
+        F.concat_ws("|", "surface_forms").alias("surface_forms"),
+        "n_mentions",
+    )
+
+
+def _q_kg_edges(spark, sf_dir):
+    # rows-only: depends on linking canonical ids
+    from glinerswift_spark.plans.kg_pipeline import build_kg
+
+    kg = build_kg(
+        _docs(spark, sf_dir), _emb(spark, sf_dir),
+        FLAGSHIP_LABELS, flagship_gazetteer(), threshold=THRESHOLD,
+    )
+    return kg["edges"]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG construction over sf0.001 — extraction -> relation
+    templating -> edge aggregation (top co-occurrence relations)."""
+    sf_dir = "/root/testdata/sf0.001"
+    triples = _q_kg_triples(spark, sf_dir)
+    return (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("score"), 4).alias("avg_score"))
+        .orderBy(F.desc("n"), "subj", "pred", "obj")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_entities": _q_kg_entities,
+        "kg_triples": _q_kg_triples,
+        "kg_top_relations": _q_kg_top_relations,
+        "kg_entity_summary": _q_kg_entity_summary,
+        "kg_nodes": _q_kg_nodes,
+        "kg_edges": _q_kg_edges,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_pairs": _q_minhash_pairs,
+        "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+        "near_dedup_components": _q_near_dedup_components,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "classify_keyword": _q_classify_keyword,
+        "window_top_docs": _q_window_top_docs,
+        "bench_stats_lang": _q_bench_stats_lang,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _lex_values() -> str:
+    rows = [
+        f"('{t}', 'operator', CAST({round(term_score(t), 4)} AS DOUBLE))"
+        for t in OPERATOR_TERMS
+    ] + [
+        f"('{t}', 'object', CAST({round(term_score(t), 4)} AS DOUBLE))"
+        for t in OBJECT_TERMS
+    ]
+    return ",\n    ".join(rows)
+
+
+_ENT_CTE = f"""
+lex(term, label, score) AS (VALUES
+    {_lex_values()}),
+__words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+__tok AS (
+    SELECT doc_id, i, w[i] AS term,
+           CAST(coalesce(list_sum(list_transform(w[1:i-1], x -> length(x) + 1)), 0) AS INT) AS tok_start
+    FROM __words, unnest(generate_series(1, len(w))) AS t(i)
+),
+ent AS (
+    SELECT tok.doc_id, lex.label, tok.term AS entity, lex.score,
+           tok.tok_start AS ent_start,
+           tok.tok_start + CAST(length(tok.term) AS INT) AS ent_end
+    FROM __tok tok JOIN lex ON tok.term = lex.term
+)"""
+
+_TRIPLE_CTE = f"""{_ENT_CTE},
+templ(la, lb, pred) AS (VALUES
+    ('operator', 'object', 'acts_on'),
+    ('object', 'operator', 'consumed_by')),
+trip AS (
+    SELECT a.entity AS subj, t.pred, b.entity AS obj, a.doc_id,
+           round(least(a.score, b.score), 4) AS score
+    FROM ent a
+    JOIN ent b ON a.doc_id = b.doc_id
+      AND (a.ent_start < b.ent_start OR (a.ent_start = b.ent_start AND a.ent_end < b.ent_end))
+      AND b.ent_start - a.ent_end BETWEEN 0 AND {RELATION_WINDOW}
+    JOIN templ t ON t.la = a.label AND t.lb = b.label
+)"""
+
+_SHINGLE_CTE = """
+__w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                        i -> array_to_string(w[i:i+2], ' '))) AS s
+    FROM __w WHERE len(w) >= 3
+)"""
+
+_JACCARD_PAIRS_CTE = f"""{_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+jpairs AS (
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc_id
+    JOIN sizes sb ON inter.doc_b = sb.doc_id
+)"""
+
+_COS_CTE = """
+__e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label
+        FROM embeddings),
+__n AS (SELECT vec_id, v, label, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM __e)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["kg_entities"] = f"""WITH {_ENT_CTE}
+SELECT doc_id, label, entity, score,
+       ent_start AS "start", ent_end AS "end"
+FROM ent"""
+
+    sql["kg_triples"] = f"""WITH {_TRIPLE_CTE}
+SELECT subj, pred, obj, doc_id, score FROM trip"""
+
+    sql["kg_top_relations"] = f"""WITH {_TRIPLE_CTE}
+SELECT subj, pred, obj, count(*) AS n FROM trip GROUP BY 1, 2, 3"""
+
+    sql["kg_entity_summary"] = f"""WITH {_ENT_CTE}
+SELECT label, count(*) AS n_mentions,
+       count(DISTINCT entity) AS n_surfaces,
+       array_to_string(list_sort(list(DISTINCT entity)), '|') AS surfaces
+FROM ent GROUP BY label"""
+
+    sql["exact_dedup"] = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keeper
+FROM documents GROUP BY 1"""
+
+    sql["minhash_pairs"] = f"""WITH {_SHINGLE_CTE},
+sig AS (
+    SELECT doc_id, b,
+           list_min(list_transform(s, x -> md5(b::VARCHAR || ':' || x))) AS m
+    FROM sh, unnest(generate_series(1, 4)) AS t(b)
+    GROUP BY ALL
+),
+big AS (SELECT b, m FROM sig GROUP BY b, m HAVING count(*) > {LSH_MAX_BUCKET}),
+ok AS (SELECT sig.* FROM sig LEFT JOIN big USING (b, m) WHERE big.b IS NULL)
+SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+FROM ok a JOIN ok c ON a.b = c.b AND a.m = c.m AND a.doc_id < c.doc_id"""
+
+    sql["ngram_jaccard_dups"] = f"""WITH {_JACCARD_PAIRS_CTE}
+SELECT doc_a, doc_b, jaccard FROM jpairs WHERE jaccard >= {JACCARD_TAU}"""
+
+    sql["near_dedup_components"] = f"""WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+dup AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= {JACCARD_TAU}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+          UNION SELECT doc_b, doc_a FROM dup),
+reach(a, b) AS (
+    SELECT DISTINCT a, a FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a"""
+
+    sql["embedding_neardup"] = f"""WITH {_COS_CTE}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                     i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos
+FROM __n a JOIN __n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= {COS_TAU}"""
+
+    sql["ann_topk"] = f"""WITH {_COS_CTE},
+q AS (SELECT * FROM __n WHERE vec_id % {ANN_QUERY_MOD} = 0),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_sum(list_transform(generate_series(1, len(q.v)),
+                                         i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos
+    FROM q JOIN __n c ON q.vec_id != c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, cos FROM ranked WHERE rk <= {ANN_K}"""
+
+    sql["token_count"] = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_types,
+       CAST(length(text) AS INT) AS len_chars
+FROM documents"""
+
+    stop_list = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
+    sql["quality_score"] = f"""
+WITH b AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_types,
+           len(list_filter(string_split(text, ' '),
+                           x -> list_contains({stop_list}, x))) AS n_stop
+    FROM documents
+)
+SELECT doc_id,
+       round(n_types * 1.0 / n_tokens, 6) AS type_token_ratio,
+       round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+       round(0.4 * (n_types * 1.0 / n_tokens)
+             + 0.3 * (1.0 - n_stop * 1.0 / n_tokens)
+             + 0.3 * least(1.0, n_tokens / 100.0), 6) AS quality
+FROM b WHERE n_tokens > 0"""
+
+    sql["lang_id"] = f"""
+WITH b AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '),
+                                x -> list_contains({stop_list}, x))) AS INT) AS n_markers
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN n_markers >= 2 THEN 'en' ELSE 'und' END AS lang_pred,
+       n_markers
+FROM b"""
+
+    sql["doc_fingerprint"] = """
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              x -> CAST(ascii(x) * 131 + length(x) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+FROM documents"""
+
+    from glinerswift_spark.operators.textstats import CLASS_KEYWORDS
+
+    kw = {k: list(v) for k, v in CLASS_KEYWORDS.items()}
+
+    def cnt(label):
+        terms = "[" + ", ".join(f"'{t}'" for t in kw[label]) + "]"
+        return f"len(list_filter(string_split(text, ' '), x -> list_contains({terms}, x)))"
+
+    sql["classify_keyword"] = f"""
+WITH b AS (
+    SELECT doc_id,
+           {cnt('data_heavy')} AS d,
+           {cnt('query_heavy')} AS q,
+           {cnt('stream_heavy')} AS s
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN d >= q AND d >= s THEN 'data_heavy'
+            WHEN q >= s THEN 'query_heavy'
+            ELSE 'stream_heavy' END AS top_label,
+       CAST(greatest(d, q, s) AS INT) AS top_count
+FROM b"""
+
+    sql["window_top_docs"] = """
+WITH r AS (
+    SELECT lang, doc_id, n_chars,
+           row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk
+    FROM documents
+)
+SELECT lang, doc_id, n_chars, CAST(rk AS INT) AS rk FROM r WHERE rk <= 3"""
+
+    sql["bench_stats_lang"] = """
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       sum(n_chars) AS sum_chars
+FROM documents GROUP BY lang"""
+
+    # kg_nodes / kg_edges / ann_lsh: intentionally omitted -> rows-only checks
+    # (xxhash64-derived ids and LSH bucketing have no DuckDB equivalent).
+    return sql

@@ -1,0 +1,115 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Mirrors the reference's BenchmarkCLI stats philosophy (throughput mode:
+wall time per stage, derived docs/sec + triples/sec —
+ref Sources/Benchmarks/BenchmarkCLI.swift throughput mode), adapted to the
+north metric (triples/sec, docs/sec).
+
+Env:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    (default 32)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("glinerswift-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+
+
+def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
+    """Run headline queries; return (per-query seconds, extra metrics)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+
+    from glinerswift_spark.plans.kg_pipeline import extract_triples_fused
+    from glinerswift_spark.scoring.backends import FLAGSHIP_LABELS, flagship_gazetteer
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    timings: dict[str, float] = {}
+    extras: dict = {"n_docs": n_docs}
+
+    # headline: fused KG triple extraction (docs -> entities -> triples),
+    # the north-metric stage. count() forces full execution.
+    t0 = time.time()
+    triples = extract_triples_fused(
+        docs, FLAGSHIP_LABELS, flagship_gazetteer(), threshold=0.5
+    )
+    n_triples = triples.count()
+    dt = time.time() - t0
+    timings["kg_triples_fused"] = round(dt, 3)
+    extras["n_triples"] = n_triples
+    extras["docs_per_sec"] = round(n_docs / dt, 1)
+    extras["triples_per_sec"] = round(n_triples / dt, 1)
+
+    # relational battery (each forced with a cheap aggregate)
+    q = entrymod.queries()
+    for name in (
+        "kg_top_relations",
+        "minhash_pairs",
+        "embedding_neardup",
+        "ann_topk",
+        "token_count",
+        "quality_score",
+        "doc_fingerprint",
+        "classify_keyword",
+        "window_top_docs",
+        "near_dedup_components",
+    ):
+        t0 = time.time()
+        q[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    return timings, extras
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    t_total = time.time()
+    timings, extras = bench_queries(spark, sf_dir)
+    total = round(time.time() - t_total, 3)
+    spark.stop()
+
+    out = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

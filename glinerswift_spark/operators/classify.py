@@ -1,0 +1,181 @@
+"""Classification + structured-extraction tasks (multi-task Schema API).
+
+Mirrors the reference's task dispatch (ref API/GLiNER2.swift:80-163):
+  * classification: label scores -> sigmoid (multi-label) or stable
+    softmax (single-label) -> threshold filter -> sort desc
+    (ref GLiNERModel.swift:207-302); top-1 = max score
+    (ref GLiNER2.swift:330-332).
+  * structured extraction: per field, run entity extraction with the
+    field's choices/description as labels, apply regex validators, apply
+    dtype projection ("str" -> first match, "list" -> all)
+    (ref GLiNER2.swift:234-299, 107-118).
+
+Spark shape: classification scores come from the same pluggable backend
+(label embedding vs document embedding) inside mapInPandas; validator and
+dtype projection are plain column expressions (rlike / element_at) —
+UDF-free post-processing.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from glinerswift_spark.schema import ClassificationSpec, FieldSpec
+from glinerswift_spark.scoring.backends import get_backend
+from glinerswift_spark.scoring.core import sigmoid
+
+
+def stable_softmax(x: np.ndarray) -> np.ndarray:
+    """Max-subtracted softmax (ref GLiNERModel.swift:293-302)."""
+    z = np.exp(x - np.max(x, axis=-1, keepdims=True))
+    return z / np.sum(z, axis=-1, keepdims=True)
+
+
+def classify_documents(
+    df: DataFrame,
+    spec: ClassificationSpec,
+    backend_spec,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """-> (id, task, label, score, is_top): per-label classification rows.
+
+    Backend contract: document-level label scores = mean of the
+    document's word/label logits (prompt '[C] label' analogue, ref
+    GLiNERModel.swift:218). Scores >= cls_threshold only; is_top marks the
+    max-score label (kept regardless of threshold, like topPrediction).
+    """
+    labels = list(spec.labels)
+    (id_field,) = [f for f in df.schema.fields if f.name == id_col]
+    out_schema = StructType(
+        [
+            id_field,
+            StructField("task", StringType()),
+            StructField("label", StringType()),
+            StructField("score", DoubleType()),
+            StructField("is_top", BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from glinerswift_spark.functions.text import word_spans
+
+        backend = get_backend(backend_spec)
+        for pdf in batches:
+            rows = {c: [] for c in out_schema.fieldNames()}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                spans = word_spans(text or "")
+                if not spans:
+                    continue
+                logits = backend.score_document(text, spans, labels)
+                # document-level label logit: max over candidate spans
+                finite = np.where(np.isfinite(logits), logits, -np.inf)
+                doc_logits = finite.max(axis=(0, 1))
+                doc_logits = np.where(np.isfinite(doc_logits), doc_logits, -30.0)
+                probs = (
+                    sigmoid(doc_logits)
+                    if spec.multi_label
+                    else stable_softmax(doc_logits)
+                )
+                top_idx = int(np.argmax(probs))
+                for i, lb in enumerate(labels):
+                    keep = probs[i] >= spec.cls_threshold or i == top_idx
+                    if not keep:
+                        continue
+                    rows[id_col].append(doc_id)
+                    rows["task"].append(spec.task)
+                    rows["label"].append(lb)
+                    rows["score"].append(float(probs[i]))
+                    rows["is_top"].append(i == top_idx)
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def top_prediction(classified: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Top-1 per document (ref GLiNER2.swift:330-332)."""
+    return classified.where(F.col("is_top")).select(
+        id_col, "task", F.col("label").alias("top_label"), "score"
+    )
+
+
+def apply_validators(entities: DataFrame, fld: FieldSpec) -> DataFrame:
+    """Regex validators as column predicates (ref Schema.swift:264-300)."""
+    out = entities
+    for v in fld.validators:
+        pat = f"(?i){v.pattern}"
+        if v.mode == "full":
+            out = out.where(F.regexp_like("entity", F.lit(f"^(?:{pat})$")))
+        elif v.mode == "partial":
+            out = out.where(F.regexp_like("entity", F.lit(pat)))
+        elif v.mode == "exclude":
+            out = out.where(~F.regexp_like("entity", F.lit(pat)))
+        else:
+            raise ValueError(v.mode)
+    return out
+
+
+def project_dtype(
+    entities: DataFrame, dtype: str, id_cols: list[str] | None = None
+) -> DataFrame:
+    """dtype "str" -> FIRST match per (doc, label) in final entity order
+    (start asc, score desc — the SpanDecoder output order); "list" -> all
+    matches collected in that order (ref GLiNER2.swift:107-118)."""
+    id_cols = list(id_cols or ["doc_id"])
+    ordered = F.sort_array(
+        F.collect_list(F.struct(F.col("start"), (-F.col("score")).alias("negscore"), F.col("entity")))
+    )
+    agg = entities.groupBy(*id_cols, "label").agg(ordered.alias("__o"))
+    values = F.transform(F.col("__o"), lambda s: s["entity"])
+    if dtype == "str":
+        return agg.select(*id_cols, "label", F.element_at(values, 1).alias("value"))
+    return agg.select(*id_cols, "label", values.alias("values"))
+
+
+def extract_structure(
+    df: DataFrame,
+    structure_name: str,
+    fields: list[FieldSpec],
+    backend_spec,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Structured extraction: one entity-extraction pass per field, with the
+    field name (or choices) as labels -> validated -> dtype-projected ->
+    one long row per (doc, structure, field)."""
+    from glinerswift_spark.operators.extract import extract_entities
+
+    out = None
+    for fld in fields:
+        labels = fld.choices if fld.choices else [fld.description or fld.name]
+        ents = extract_entities(
+            df, labels, backend_spec, text_col=text_col, id_cols=[id_col],
+            threshold=threshold,
+        )
+        ents = apply_validators(ents, fld)
+        proj = project_dtype(ents, fld.dtype, [id_col])
+        value = (
+            F.col("value")
+            if fld.dtype == "str"
+            else F.concat_ws("|", F.col("values"))
+        )
+        part = proj.select(
+            id_col,
+            F.lit(structure_name).alias("structure"),
+            F.lit(fld.name).alias("field"),
+            value.alias("value"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

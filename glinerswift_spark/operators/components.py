@@ -32,11 +32,15 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
-    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
-        "component", F.col("node")
-    )
-    labels = labels.localCheckpoint(eager=True)
+    # checkpoint BEFORE deriving labels: the (possibly expensive) edge
+    # computation upstream materializes exactly once
     sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iterations):
         neighbor_min = (

@@ -113,9 +113,55 @@ def canonicalize(
 
 
 def link_mentions(mentions: DataFrame, cfg: LinkingConfig | None = None):
-    """Full linking stage -> (mention_map, nodes, verified_pairs)."""
+    """Full linking stage -> (mention_map, nodes, verified_pairs).
+
+    Scale-critical design: blocking/verification/CC run over DISTINCT
+    (lowercased surface, label) pairs, NOT raw mentions. Mention counts
+    follow a Zipf law — one hot surface can have millions of mentions, and
+    mention-level LSH buckets would go quadratic in exactly those cases.
+    Collapsing first is semantics-preserving (identical surfaces share
+    identical shingles and — via the deterministic surface->embedding
+    assignment — identical embeddings, so they always land in one cluster)
+    and makes linking cost scale with VOCABULARY size, not corpus size.
+    canonical_id is still min(mention_id) over the whole component.
+    """
     cfg = cfg or LinkingConfig()
-    pairs = mention_candidate_pairs(mentions, cfg)
-    verified = verify_pairs_by_cosine(pairs, mentions, cfg)
-    mention_map, nodes = canonicalize(mentions, verified, cfg)
+    surfaces = mentions.groupBy(
+        F.lower(F.col("text")).alias("surface"), "label"
+    ).agg(
+        F.min("mention_id").alias("surface_id"),
+        F.min_by("embedding", "mention_id").alias("embedding"),
+    )
+    sdf = surfaces.select(
+        F.col("surface_id").alias("mention_id"),
+        F.col("surface").alias("text"),
+        "label",
+        "embedding",
+    )
+    pairs = mention_candidate_pairs(sdf, cfg)
+    verified = verify_pairs_by_cosine(pairs, sdf, cfg)
+    cc = connected_components(
+        verified, src="mention_a", dst="mention_b",
+        max_iterations=cfg.max_cc_iterations,
+    )
+    surface_canon = surfaces.join(
+        cc.withColumnRenamed("node", "surface_id"), "surface_id", "left"
+    ).select(
+        "surface",
+        "label",
+        F.coalesce("component", "surface_id").alias("canonical_id"),
+    )
+    mention_map = (
+        mentions.withColumn("surface", F.lower(F.col("text")))
+        .join(surface_canon, ["surface", "label"])
+        .select("mention_id", "canonical_id")
+    )
+    nodes = (
+        mentions.join(mention_map, "mention_id")
+        .groupBy("canonical_id", "label")
+        .agg(
+            F.sort_array(F.collect_set("text")).alias("surface_forms"),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+    )
     return mention_map, nodes, verified

@@ -69,6 +69,17 @@ class HashEmbeddingSpec:
 class GazetteerBackend:
     def __init__(self, lexicon: dict):
         self.lexicon = lexicon
+        self.by_surface: dict = {}
+        for (surface, label), score in lexicon.items():
+            self.by_surface.setdefault(surface, {})[label] = logit(score)
+        from glinerswift_spark.functions.text import WORD_RE
+
+        # longest phrase (in words) bounds the widths worth scoring —
+        # everything wider stays -inf, which decodes identically to
+        # scoring-and-thresholding it.
+        self.max_phrase_words = max(
+            (len(WORD_RE.findall(s)) for s in self.by_surface), default=1
+        )
 
     def score_document(
         self, text: str, spans: list, labels: list
@@ -80,13 +91,17 @@ class GazetteerBackend:
         max_w = DEFAULT_CONFIG.max_span_width
         out = np.full((n, max_w, len(labels)), NEG_INF, dtype=np.float64)
         label_idx = {lb: i for i, lb in enumerate(labels)}
+        wmax = min(max_w, self.max_phrase_words)
+        by_surface = self.by_surface
         for s in range(n):
-            for w in range(min(max_w, n - s)):
-                surface = text[spans[s][0] : spans[s + w][1]].lower()
-                for lb, li in label_idx.items():
-                    sc = self.lexicon.get((surface, lb))
-                    if sc is not None:
-                        out[s, w, li] = logit(sc)
+            cs = spans[s][0]
+            for w in range(min(wmax, n - s)):
+                hit = by_surface.get(text[cs : spans[s + w][1]].lower())
+                if hit:
+                    for lb, lg in hit.items():
+                        li = label_idx.get(lb)
+                        if li is not None:
+                            out[s, w, li] = lg
         return out
 
 
