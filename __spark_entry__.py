@@ -222,6 +222,104 @@ def _q_kg_edges(spark, sf_dir):
     return kg["edges"]
 
 
+def _q_kg_entities_phrases(spark, sf_dir):
+    """Multi-word span extraction + greedy flat NMS, oracle-checkable:
+    the phrase 'table scan' (score 0.70) beats its component words
+    (0.65/0.64), so greedy selection keeps every phrase occurrence and
+    suppresses the covered words — exactly expressible in SQL because
+    occurrences of a two-distinct-word bigram can never overlap."""
+    from glinerswift_spark.operators.extract import extract_entities
+    from glinerswift_spark.scoring.backends import GazetteerSpec
+
+    lex = dict(flagship_gazetteer().entries)
+    lex[("table scan", "operator")] = term_score("table scan")
+    ents = extract_entities(
+        _docs(spark, sf_dir), FLAGSHIP_LABELS, GazetteerSpec.from_dict(lex),
+        threshold=THRESHOLD,
+    )
+    return ents.select(
+        "doc_id", "label", "entity",
+        F.round("score", 4).alias("score"), "start", "end",
+    )
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _q_events_windowed(spark, sf_dir):
+    """Tumbling 1-day windows per event_type (streaming-shape aggregate)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("day"), "event_type", "n_events", "sum_value")
+    )
+
+
+def _q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) via window functions."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; cast -> TIMESTAMP uses the session timezone
+    # (UTC in this environment), matching DuckDB's epoch_ms on NTZ wall time
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gap = ms - F.lag(ms).over(w)
+    new_sess = F.when(gap.isNull() | (gap > F.lit(1_800_000)), 1).otherwise(0)
+    sess = (
+        _events(spark, sf_dir)
+        .withColumn("__new", new_sess)
+        .withColumn(
+            "session_idx",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def _q_events_json_k(spark, sf_dir):
+    """Semi-structured props: extract $.k, aggregate per event_type."""
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def _q_percentile_chars(spark, sf_dir):
+    """Exact percentiles per lang (A7 benchmark-stats analogue)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.expr("percentile(n_chars, 0.5)").alias("p50"),
+            F.expr("percentile(n_chars, 0.95)").alias("p95"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG construction over sf0.001 — extraction -> relation
     templating -> edge aggregation (top co-occurrence relations)."""
@@ -256,6 +354,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_keyword": _q_classify_keyword,
         "window_top_docs": _q_window_top_docs,
         "bench_stats_lang": _q_bench_stats_lang,
+        "kg_entities_phrases": _q_kg_entities_phrases,
+        "events_windowed": _q_events_windowed,
+        "events_sessionize": _q_events_sessionize,
+        "events_json_k": _q_events_json_k,
+        "percentile_chars": _q_percentile_chars,
     }
 
 
@@ -284,7 +387,7 @@ __tok AS (
     FROM __words, unnest(generate_series(1, len(w))) AS t(i)
 ),
 ent AS (
-    SELECT tok.doc_id, lex.label, tok.term AS entity, lex.score,
+    SELECT tok.doc_id, tok.i, lex.label, tok.term AS entity, lex.score,
            tok.tok_start AS ent_start,
            tok.tok_start + CAST(length(tok.term) AS INT) AS ent_end
     FROM __tok tok JOIN lex ON tok.term = lex.term
@@ -490,6 +593,67 @@ SELECT lang, count(*) AS n_docs,
        round(avg(n_chars), 4) AS avg_chars,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars,
        sum(n_chars) AS sum_chars
+FROM documents GROUP BY lang"""
+
+    phrase_score = round(term_score("table scan"), 4)
+    sql["kg_entities_phrases"] = f"""WITH {_ENT_CTE},
+occ AS (
+    SELECT a.doc_id, a.i AS ai, b.i AS bi, a.tok_start AS ent_start,
+           b.tok_start + CAST(length(b.term) AS INT) AS ent_end
+    FROM __tok a JOIN __tok b
+      ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    WHERE a.term = 'table' AND b.term = 'scan'
+),
+covered AS (
+    SELECT doc_id, ai AS i FROM occ
+    UNION ALL SELECT doc_id, bi FROM occ
+)
+SELECT doc_id, label, entity, score, ent_start AS "start", ent_end AS "end"
+FROM ent
+WHERE NOT EXISTS (
+    SELECT 1 FROM covered c WHERE c.doc_id = ent.doc_id AND c.i = ent.i)
+UNION ALL
+SELECT doc_id, 'operator' AS label, 'table scan' AS entity,
+       CAST({phrase_score} AS DOUBLE) AS score,
+       ent_start AS "start", ent_end AS "end"
+FROM occ"""
+
+    sql["events_windowed"] = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       count(*) AS n_events, round(sum("value"), 4) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+    sql["events_sessionize"] = """
+WITH o AS (
+    SELECT user_id, event_id, ts, "value",
+           epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events
+),
+s AS (
+    SELECT user_id, event_id, ts, "value",
+           sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+    FROM o
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum("value"), 4) AS sum_value
+FROM s GROUP BY 1, 2"""
+
+    sql["events_json_k"] = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events GROUP BY 1"""
+
+    sql["percentile_chars"] = """
+SELECT lang,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.95) AS p95,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
 FROM documents GROUP BY lang"""
 
     # kg_nodes / kg_edges / ann_lsh: intentionally omitted -> rows-only checks
