@@ -243,6 +243,19 @@ def _q_kg_entities_phrases(spark, sf_dir):
     )
 
 
+LABEL_THRESHOLDS = {"operator": 0.645}
+
+
+def _q_kg_entities_thresholded(spark, sf_dir):
+    """Per-label threshold override (P2/J7): operators need score >= 0.645,
+    objects keep the global 0.5 (ref API/GLiNER2.swift:96-103)."""
+    from glinerswift_spark.operators.thresholds import apply_label_thresholds
+
+    return apply_label_thresholds(
+        _q_kg_entities(spark, sf_dir), LABEL_THRESHOLDS, THRESHOLD
+    )
+
+
 def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -355,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_docs": _q_window_top_docs,
         "bench_stats_lang": _q_bench_stats_lang,
         "kg_entities_phrases": _q_kg_entities_phrases,
+        "kg_entities_thresholded": _q_kg_entities_thresholded,
         "events_windowed": _q_events_windowed,
         "events_sessionize": _q_events_sessionize,
         "events_json_k": _q_events_json_k,
@@ -594,6 +608,12 @@ SELECT lang, count(*) AS n_docs,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars,
        sum(n_chars) AS sum_chars
 FROM documents GROUP BY lang"""
+
+    sql["kg_entities_thresholded"] = f"""WITH {_ENT_CTE}
+SELECT doc_id, label, entity, score,
+       ent_start AS "start", ent_end AS "end"
+FROM ent
+WHERE score >= CASE label WHEN 'operator' THEN 0.645 ELSE {THRESHOLD} END"""
 
     phrase_score = round(term_score("table scan"), 4)
     sql["kg_entities_phrases"] = f"""WITH {_ENT_CTE},

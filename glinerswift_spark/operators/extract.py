@@ -87,3 +87,53 @@ def extract_entities(
 
     # explicit narrow projection => column pruning reaches the scan
     return df.select(*id_cols, text_col).mapInPandas(run, schema=out_schema)
+
+
+def extract_entities_per_request(
+    df: DataFrame,
+    backend_spec,
+    text_col: str = "text",
+    labels_col: str = "labels",
+    threshold_col: str = "threshold",
+    id_cols: list[str] | None = None,
+    config: Configuration = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Extraction where EACH ROW carries its own labels (+ threshold) —
+    the reference's benchmark-fixture shape {id, text, labels, threshold}
+    (ref Scripts/test_fixtures.jsonl, BenchmarkCLI decodeFixtures).
+
+    Same fused per-task dataflow; the backend sees the row's label list.
+    At scale, rows with identical label sets batch together naturally
+    (same Arrow batch, per-worker backend reused across all of them).
+    """
+    id_cols = list(id_cols or ["id"])
+    out_schema = entity_output_schema(df, id_cols)
+    out_cols = [f.name for f in out_schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = get_backend(backend_spec)
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in out_cols}
+            has_thr = threshold_col in pdf.columns
+            for i in range(len(pdf)):
+                raw_labels = pdf[labels_col].iat[i]
+                labels = [] if raw_labels is None else list(raw_labels)
+                thr = float(pdf[threshold_col].iat[i]) if has_thr else None
+                ents = extract_document(
+                    pdf[text_col].iat[i], labels, backend,
+                    threshold=thr, config=config,
+                )
+                for e in ents:
+                    for c in id_cols:
+                        rows[c].append(pdf[c].iat[i])
+                    rows["label"].append(e.label)
+                    rows["entity"].append(e.text)
+                    rows["score"].append(e.score)
+                    rows["start"].append(e.start)
+                    rows["end"].append(e.end)
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    keep = [*id_cols, text_col, labels_col]
+    if threshold_col in df.columns:
+        keep.append(threshold_col)
+    return df.select(*keep).mapInPandas(run, schema=out_schema)

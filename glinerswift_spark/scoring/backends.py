@@ -61,9 +61,15 @@ class HashEmbeddingSpec:
     seed: int = 42
     scale: float = 8.0
     bias: float = -4.0
+    # legacy GLiNER-v1 config surface kept available, like the reference's
+    # Configuration.poolingMethod / similarityMetric (Configuration.swift:45-65):
+    pooling: str = "mean"      # mean | max | concat (ref SpanBuilder.swift:84-146)
+    similarity: str = "cosine"  # cosine | dot (ref SimilarityScorer.swift:50-110)
 
     def build(self) -> "HashEmbeddingBackend":
-        return HashEmbeddingBackend(self.dim, self.seed, self.scale, self.bias)
+        return HashEmbeddingBackend(
+            self.dim, self.seed, self.scale, self.bias, self.pooling, self.similarity
+        )
 
 
 class GazetteerBackend:
@@ -113,11 +119,21 @@ def _hash_vec(token: str, dim: int, seed: int) -> np.ndarray:
 
 
 class HashEmbeddingBackend:
-    def __init__(self, dim: int, seed: int, scale: float, bias: float):
+    def __init__(
+        self,
+        dim: int,
+        seed: int,
+        scale: float,
+        bias: float,
+        pooling: str = "mean",
+        similarity: str = "cosine",
+    ):
         self.dim = dim
         self.seed = seed
         self.scale = scale
         self.bias = bias
+        self.pooling = pooling
+        self.similarity = similarity
         self._word_cache: dict = {}
         self._label_cache: dict = {}
 
@@ -147,18 +163,39 @@ class HashEmbeddingBackend:
         words = np.stack([self._word(text[s:e]) for s, e in spans])  # [n, d]
         prefix = np.vstack([np.zeros((1, self.dim)), np.cumsum(words, axis=0)])
         lab = self._labels(labels)  # [L, d]
+        if self.pooling == "concat":
+            # [start ‖ end ‖ mean] (ref SpanBuilder.swift:131-146); label
+            # vectors tiled to the tripled dimension
+            lab = np.concatenate([lab, lab, lab], axis=1) / np.sqrt(3.0)
 
         out = np.full((n, max_w, n_lb), NEG_INF, dtype=np.float64)
         for w in range(max_w):
             m = n - w
             if m <= 0:
                 break
-            # mean-pooled span embedding for all spans of width w+1, at once
-            span_emb = (prefix[w + 1 : w + 1 + m] - prefix[:m]) / (w + 1)
-            norms = np.linalg.norm(span_emb, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            cos = (span_emb / norms) @ lab.T  # [m, L]
-            out[:m, w, :] = cos * self.scale + self.bias
+            mean_emb = (prefix[w + 1 : w + 1 + m] - prefix[:m]) / (w + 1)
+            if self.pooling == "mean":
+                span_emb = mean_emb  # ref SpanBuilder.swift:84-108
+            elif self.pooling == "max":
+                # elementwise max over the span (ref SpanBuilder.swift:110-129)
+                span_emb = words[:m].copy()
+                for k in range(1, w + 1):
+                    np.maximum(span_emb, words[k : k + m], out=span_emb)
+            elif self.pooling == "concat":
+                span_emb = np.concatenate(
+                    [words[:m], words[w : w + m], mean_emb], axis=1
+                )
+            else:
+                raise ValueError(f"unknown pooling {self.pooling!r}")
+            if self.similarity == "cosine":
+                norms = np.linalg.norm(span_emb, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                sim = (span_emb / norms) @ lab.T  # [m, L]
+            elif self.similarity == "dot":
+                sim = span_emb @ lab.T
+            else:
+                raise ValueError(f"unknown similarity {self.similarity!r}")
+            out[:m, w, :] = sim * self.scale + self.bias
         return out
 
 

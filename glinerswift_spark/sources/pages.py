@@ -16,8 +16,7 @@ pin a single task; it is a deterministic full shuffle done ONCE before the
 expensive inference stage (inference cost >> shuffle cost at scale).
 """
 
-from __future__ import annotations
-
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
@@ -34,6 +33,42 @@ def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(path)
     return spark.read.format(fmt).load(path)
+
+
+def extract_pages_text(pages: DataFrame) -> DataFrame:
+    """[NORTH-RULE] html(binary) -> text(string), byte-identical per url.
+
+    Arrow-batched pandas UDF over the deterministic pure function
+    (functions/text.extract_text_from_html); goldens pin the bytes->text
+    mapping. Re-running over the same html bytes always reproduces the
+    text column exactly — the invariant the correctness gate requires.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from glinerswift_spark.functions.text import extract_text_from_html
+
+    @pandas_udf("string")
+    def _extract(html: pd.Series) -> pd.Series:
+        return html.map(lambda b: extract_text_from_html(b))
+
+    return pages.withColumn("text", _extract(F.col("html")))
+
+
+def documents_as_pages(docs: DataFrame) -> DataFrame:
+    """Wrap the synthetic documents table in the exact input_hint shape
+    pages(url, warc_ts, html, text, lang): deterministic url from doc_id,
+    html = a minimal page embedding the text, warc_ts fixed epoch + doc_id
+    seconds. Used by tests to exercise the pages path end to end."""
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
+    ).cast("binary")
+    return docs.select(
+        F.concat(F.lit("https://example.org/doc/"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+        html.alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
 
 
 def read_fixture_jsonl(spark: SparkSession, path: str) -> DataFrame:
