@@ -143,6 +143,42 @@ def project_dtype(
     return agg.select(*id_cols, "label", values.alias("values"))
 
 
+def predict_structure_counts(
+    df: DataFrame,
+    structure_name: str,
+    backend_spec,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_count: int = 20,
+) -> DataFrame:
+    """A4: per-document predicted structure-instance count — argmax over
+    the backend's 20 count logits, clamped to max_count
+    (ref GLiNER2SpanPipeline.swift:114-123,173-198)."""
+    import numpy as np
+
+    from glinerswift_spark.scoring.backends import predict_count
+
+    from pyspark.sql.types import IntegerType
+
+    (id_field,) = [f for f in df.schema.fields if f.name == id_col]
+    out_schema = StructType([id_field, StructField("predicted_count", IntegerType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = get_backend(backend_spec)
+        for pdf in batches:
+            ids, counts = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                ids.append(doc_id)
+                counts.append(
+                    predict_count(
+                        backend.count_logits(text or "", structure_name), max_count
+                    )
+                )
+            yield pd.DataFrame({id_col: ids, "predicted_count": counts})
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
 def extract_structure(
     df: DataFrame,
     structure_name: str,
@@ -151,12 +187,24 @@ def extract_structure(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float | None = None,
+    use_count_predictor: bool = False,
+    max_count: int = 20,
 ) -> DataFrame:
     """Structured extraction: one entity-extraction pass per field, with the
     field name (or choices) as labels -> validated -> dtype-projected ->
-    one long row per (doc, structure, field)."""
+    one long row per (doc, structure, field). With use_count_predictor,
+    "list" fields keep only the first predicted_count instances (the
+    reference takes the first predictedCount count-embed projections,
+    ref GLiNER2SpanPipeline.swift:119-120)."""
     from glinerswift_spark.operators.extract import extract_entities
 
+    counts = (
+        predict_structure_counts(
+            df, structure_name, backend_spec, text_col, id_col, max_count
+        )
+        if use_count_predictor
+        else None
+    )
     out = None
     for fld in fields:
         labels = fld.choices if fld.choices else [fld.description or fld.name]
@@ -166,6 +214,13 @@ def extract_structure(
         )
         ents = apply_validators(ents, fld)
         proj = project_dtype(ents, fld.dtype, [id_col])
+        if fld.dtype != "str" and counts is not None:
+            proj = proj.join(counts, id_col, "left").withColumn(
+                "values",
+                F.slice(
+                    F.col("values"), 1, F.coalesce("predicted_count", F.lit(max_count))
+                ),
+            ).drop("predicted_count")
         value = (
             F.col("value")
             if fld.dtype == "str"

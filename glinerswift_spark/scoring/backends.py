@@ -72,6 +72,13 @@ class HashEmbeddingSpec:
         )
 
 
+def predict_count(logits: np.ndarray, max_count: int = 20) -> int:
+    """A4: argmax over the 20 count logits -> predicted #structure
+    instances, clamped (ref Models/GLiNER2SpanPipeline.swift:114-123,
+    173-198; hook truth Scripts/dump_gliner2_tensors.py:65-66)."""
+    return int(min(np.argmax(logits), max_count))
+
+
 class GazetteerBackend:
     def __init__(self, lexicon: dict):
         self.lexicon = lexicon
@@ -109,6 +116,15 @@ class GazetteerBackend:
                         if li is not None:
                             out[s, w, li] = lg
         return out
+
+    def count_logits(self, text: str, structure_name: str) -> np.ndarray:
+        """Deterministic count head for the lexicon backend: number of
+        DISTINCT lexicon surfaces present (word-level), one-hot logits."""
+        words = set(text.lower().split())
+        n = min(sum(1 for s in self.by_surface if s in words), 19)
+        logits = np.full(20, -10.0)
+        logits[n] = 10.0
+        return logits
 
 
 def _hash_vec(token: str, dim: int, seed: int) -> np.ndarray:
@@ -197,6 +213,13 @@ class HashEmbeddingBackend:
                 raise ValueError(f"unknown similarity {self.similarity!r}")
             out[:m, w, :] = sim * self.scale + self.bias
         return out
+
+    def count_logits(self, text: str, structure_name: str) -> np.ndarray:
+        h = hashlib.md5(
+            f"count:{self.seed}:{structure_name}:{text[:64]}".encode()
+        ).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+        return rng.standard_normal(20)
 
 
 _BACKEND_CACHE: dict = {}

@@ -77,6 +77,61 @@ def read_fixture_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path)
 
 
+def read_text_file_chunks(
+    spark: SparkSession,
+    path: str,
+    max_chars: int = 4096,
+    overlap: int = 512,
+    max_words: int = 240,
+) -> DataFrame:
+    """S5: .txt -> whole file -> TextChunker windows -> one row per chunk
+    (ref BenchmarkCLI loadTextFileFixtures). Returns
+    (file, chunk_idx, chunk_start, chunk_end, text)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from glinerswift_spark.functions.chunker import chunk_text
+
+    out_schema = StructType(
+        [
+            StructField("file", StringType()),
+            StructField("chunk_idx", IntegerType()),
+            StructField("chunk_start", LongType()),
+            StructField("chunk_end", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = {c: [] for c in out_schema.fieldNames()}
+            for fname, content in zip(pdf["file"], pdf["content"]):
+                for i, c in enumerate(
+                    chunk_text(content, max_chars, overlap, max_words)
+                ):
+                    rows["file"].append(fname)
+                    rows["chunk_idx"].append(i)
+                    rows["chunk_start"].append(c.start)
+                    rows["chunk_end"].append(c.end)
+                    rows["text"].append(c.text)
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(
+            F.col("path").alias("file"),
+            F.decode(F.col("content"), "utf-8").alias("content"),
+        )
+    )
+    return files.mapInPandas(run, out_schema)
+
+
 def repartition_salted(
     df: DataFrame, key_col: str = "url", num_partitions: int | None = None
 ) -> DataFrame:
