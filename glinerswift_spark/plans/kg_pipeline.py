@@ -71,13 +71,31 @@ def extract_triples_fused(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         backend = get_backend(backend_spec)
         for pdf in batches:
-            rows = []
+            subj, pred, obj, docs_out, score = [], [], [], [], []
             for doc_id, text in zip(pdf[doc_col], pdf[text_col]):
                 ents = extract_document(
                     text, labels, backend, threshold=threshold, config=config
                 )
-                rows.extend(triples_from_entity_list(ents, rcfg, doc_id))
-            yield pd.DataFrame(rows, columns=cols)
+                for s, p, o, d, sc in triples_from_entity_list(ents, rcfg, doc_id):
+                    subj.append(s)
+                    pred.append(p)
+                    obj.append(o)
+                    docs_out.append(d)
+                    score.append(sc)
+            # dictionary-encode the (heavily repeated) string columns:
+            # Arrow ships int codes + a small per-batch dictionary instead
+            # of repeating every surface form — at ~100 triples/doc this
+            # cuts the python->JVM IPC volume by ~5-10x, which is the
+            # bottleneck of the fused stage (kernel time, not compute).
+            yield pd.DataFrame(
+                {
+                    cols[0]: pd.Categorical(subj),
+                    cols[1]: pd.Categorical(pred),
+                    cols[2]: pd.Categorical(obj),
+                    cols[3]: docs_out,
+                    cols[4]: score,
+                }
+            )
 
     return df.select(doc_col, text_col).mapInPandas(run, schema=out_schema)
 
