@@ -121,6 +121,15 @@ def _q_near_dedup_components(spark, sf_dir):
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 
+SIMHASH_MAX_HAMMING = 3
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from glinerswift_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING)
+
+
 def _q_embedding_neardup(spark, sf_dir):
     from glinerswift_spark.operators.dedup import embedding_neardup_pairs
 
@@ -356,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_pairs": _q_minhash_pairs,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+        "simhash_pairs": _q_simhash_pairs,
         "near_dedup_components": _q_near_dedup_components,
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
@@ -490,6 +500,31 @@ FROM ok a JOIN ok c ON a.b = c.b AND a.m = c.m AND a.doc_id < c.doc_id"""
 
     sql["ngram_jaccard_dups"] = f"""WITH {_JACCARD_PAIRS_CTE}
 SELECT doc_a, doc_b, jaccard FROM jpairs WHERE jaccard >= {JACCARD_TAU}"""
+
+    # simhash16: same bit construction as operators/dedup.simhash16
+    bit_sum_exprs = []
+    for i in range(16):
+        hp = i // 4 + 1
+        sh = 3 - (i % 4)
+        bit = (
+            f"(CAST(floor((strpos('0123456789abcdef', substring(md5(x), {hp}, 1)) - 1) "
+            f"/ {2 ** sh}) AS BIGINT) % 2)"
+        )
+        bit_sum_exprs.append(
+            f"list_sum(list_transform(w, x -> {bit})) AS s{i}"
+        )
+    sh_value = " + ".join(
+        f"(CASE WHEN s{i} * 2 >= n THEN {1 << i} ELSE 0 END)" for i in range(16)
+    )
+    sql["simhash_pairs"] = f"""
+WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w,
+                  len(string_split(text, ' ')) AS n FROM documents),
+bits AS (SELECT doc_id, lang, n, {', '.join(bit_sum_exprs)} FROM w),
+sh AS (SELECT doc_id, lang, CAST({sh_value} AS BIGINT) AS sh FROM bits)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAMMING}"""
 
     sql["near_dedup_components"] = f"""WITH RECURSIVE {_JACCARD_PAIRS_CTE},
 dup AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= {JACCARD_TAU}),

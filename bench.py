@@ -66,11 +66,23 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     extras["docs_per_sec"] = round(n_docs / dt, 1)
     extras["triples_per_sec"] = round(n_triples / dt, 1)
 
+    # per-stage split of the extraction pipeline (ref prints the same
+    # tokenize/encode/score/decode split — GLiNERModel.swift:388-392)
+    from glinerswift_spark.operators.metrics import stage_timing_report
+
+    t0 = time.time()
+    split_rows = stage_timing_report(
+        docs, FLAGSHIP_LABELS, flagship_gazetteer(), threshold=0.5
+    ).collect()
+    timings["stage_split_profile"] = round(time.time() - t0, 3)
+    extras["stage_seconds"] = {r.stage: r.seconds for r in split_rows}
+
     # relational battery (each forced with a cheap aggregate)
     q = entrymod.queries()
     for name in (
         "kg_top_relations",
         "minhash_pairs",
+        "simhash_pairs",
         "embedding_neardup",
         "ann_topk",
         "token_count",

@@ -145,6 +145,68 @@ def ngram_jaccard_pairs(
     )
 
 
+SIMHASH_BITS = 16
+
+
+def simhash16(words: Column) -> Column:
+    """16-bit SimHash over a words array, pure column expressions.
+
+    Per word: first 4 hex chars of md5(word) = 16 bits. Document bit i is
+    the majority vote of word-bit i. Built from ANSI constructs only
+    (md5/substring/strpos/arithmetic) so the DuckDB oracle replays it
+    verbatim. 16 bits is plenty for blocking duplicates at hamming<=3;
+    widen by taking more hex chars if needed.
+    """
+    n = F.size(words)
+
+    def bit_expr(w, hex_pos, shift):
+        # hex digit value via 1-based position in '0123456789abcdef'
+        return (
+            F.floor(
+                (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(w), hex_pos, 1)) - 1)
+                / F.lit(2 ** shift)
+            )
+            % 2
+        )
+
+    def make_merge(hex_pos, shift):
+        return lambda acc, w: acc + bit_expr(w, hex_pos, shift).cast("long")
+
+    bit_sums = [
+        F.aggregate(
+            words, F.lit(0).cast("long"), make_merge(i // 4 + 1, 3 - (i % 4))
+        )
+        for i in range(SIMHASH_BITS)
+    ]
+    out = F.lit(0).cast("long")
+    for i, s in enumerate(bit_sums):
+        out = out + F.when(s * 2 >= n, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with hamming(simhash) <= max_hamming,
+    blocked by ``block_col`` (equi-join, never all-pairs across blocks)."""
+    sh = df.select(
+        F.col(id_col), F.col(block_col), simhash16(words_col(text_col)).alias("sh")
+    )
+    a = sh.select(F.col(block_col), F.col(id_col).alias("doc_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col(block_col), F.col(id_col).alias("doc_b"), F.col("sh").alias("sb"))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        a.join(b, block_col)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,

@@ -1,0 +1,130 @@
+"""Per-stage timing metrics for the extraction pipeline.
+
+The reference prints a per-request stage split —
+"Tokenize: Xms | Encode: Xms | Score: Xms | Decode: Xms"
+(ref GLiNERModel.swift:388-392). The Spark analogue: an instrumented
+mapInPandas pass that emits one row per (partition, stage) with the
+accumulated seconds and doc count; aggregating those rows gives the
+cluster-wide stage split. Used by bench.py; cheap enough to run on a
+sample in production (it re-runs extraction, so it is a PROFILING op,
+not a hook on the hot path)."""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from glinerswift_spark.config import Configuration, DEFAULT_CONFIG
+from glinerswift_spark.functions.chunker import chunk_text, should_chunk
+from glinerswift_spark.functions.text import word_spans
+from glinerswift_spark.scoring.backends import get_backend
+from glinerswift_spark.scoring.core import (
+    decode_spans,
+    merge_chunk_entities,
+    shift_entities,
+)
+
+STAGES = ("split", "chunk", "score", "decode", "merge")
+
+TIMING_SCHEMA = StructType(
+    [
+        StructField("stage", StringType()),
+        StructField("seconds", DoubleType()),
+        StructField("docs", LongType()),
+        StructField("entities", LongType()),
+    ]
+)
+
+
+def _extract_timed(text, labels, backend, threshold, config, t):
+    t0 = time.perf_counter()
+    chunked = should_chunk(text, config.chunk_max_words)
+    chunks = (
+        chunk_text(
+            text,
+            config.chunk_max_characters,
+            config.chunk_overlap_characters,
+            config.chunk_max_words,
+        )
+        if chunked
+        else None
+    )
+    t1 = time.perf_counter()
+    t["chunk"] += t1 - t0
+    pieces = (
+        [(c.text, c.start) for c in chunks]
+        if chunks and len(chunks) > 1
+        else [(text, 0)]
+    )
+    per_chunk = []
+    for piece, off in pieces:
+        t0 = time.perf_counter()
+        spans = word_spans(piece)
+        t1 = time.perf_counter()
+        t["split"] += t1 - t0
+        if not spans:
+            per_chunk.append([])
+            continue
+        logits = backend.score_document(piece, spans, labels)
+        t2 = time.perf_counter()
+        t["score"] += t2 - t1
+        ents = decode_spans(logits, labels, threshold, piece, spans)
+        t3 = time.perf_counter()
+        t["decode"] += t3 - t2
+        per_chunk.append(shift_entities(ents, off))
+    t0 = time.perf_counter()
+    merged = (
+        merge_chunk_entities(per_chunk) if len(per_chunk) > 1 else per_chunk[0]
+    )
+    t["merge"] += time.perf_counter() - t0
+    return merged
+
+
+def stage_timing_report(
+    df: DataFrame,
+    labels: list[str],
+    backend_spec,
+    text_col: str = "text",
+    threshold: float | None = None,
+    config: Configuration = DEFAULT_CONFIG,
+) -> DataFrame:
+    """-> (stage, seconds, docs, entities): cluster-wide stage split."""
+    labels = list(labels)
+    thr = config.threshold if threshold is None else threshold
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = get_backend(backend_spec)
+        t = {s: 0.0 for s in STAGES}
+        docs = 0
+        ents = 0
+        for pdf in batches:
+            for text in pdf[text_col]:
+                if not text:
+                    continue
+                ents += len(_extract_timed(text, labels, backend, thr, config, t))
+                docs += 1
+        yield pd.DataFrame(
+            {
+                "stage": list(STAGES),
+                "seconds": [t[s] for s in STAGES],
+                "docs": [docs] * len(STAGES),
+                "entities": [ents] * len(STAGES),
+            }
+        )
+
+    per_partition = df.select(text_col).mapInPandas(run, TIMING_SCHEMA)
+    return per_partition.groupBy("stage").agg(
+        F.round(F.sum("seconds"), 4).alias("seconds"),
+        F.sum("docs").alias("docs"),
+        F.sum("entities").alias("entities"),
+    )
