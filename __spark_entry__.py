@@ -342,6 +342,79 @@ def _q_percentile_chars(spark, sf_dir):
     )
 
 
+def _cents(col):
+    return F.round(col * 100).cast("long")
+
+
+def _q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1-style pricing summary. Money in integer cents (exact
+    cross-engine arithmetic); disc price in 1e-4 units."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_e4 = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
+            F.sum(disc_e4).alias("sum_disc_price_e4"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3-style: top-10 BUILDING-segment orders by revenue before a
+    cutoff date (join + filter + aggregate + rank)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    rev = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_tpch_q5ish(spark, sf_dir):
+    """Regional revenue rollup: region -> nation -> customer -> orders ->
+    lineitem (multi-join star aggregation)."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.sum(rev).alias("revenue_e4"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG construction over sf0.001 — extraction -> relation
     templating -> edge aggregation (top co-occurrence relations)."""
@@ -383,6 +456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_json_k": _q_events_json_k,
         "percentile_chars": _q_percentile_chars,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5ish": _q_tpch_q5ish,
     }
 
 
@@ -710,6 +786,43 @@ SELECT lang,
        quantile_cont(n_chars, 0.95) AS p95,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars
 FROM documents GROUP BY lang"""
+
+    sql["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_price_e4,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2"""
+
+    sql["tpch_q3"] = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue_e4 DESC, l_orderkey ASC
+LIMIT 10"""
+
+    sql["tpch_q5ish"] = """
+SELECT r_name, n_name,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2"""
 
     # kg_nodes / kg_edges / ann_lsh: intentionally omitted -> rows-only checks
     # (xxhash64-derived ids and LSH bucketing have no DuckDB equivalent).

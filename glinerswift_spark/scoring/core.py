@@ -82,20 +82,25 @@ def decode_spans(
     if n_words == 0 or not labels or logits.size == 0:
         return []
 
-    probs = sigmoid(logits)
-    keep = np.argwhere(probs >= threshold)
+    # threshold in LOGIT space (monotone-equivalent to sigmoid(x) >= thr,
+    # inclusive at the boundary) — avoids exp() over the full
+    # [words x widths x labels] tensor; sigmoid runs only on survivors.
+    if threshold >= 1.0:
+        return []
+    keep = np.argwhere(logits >= (logit(threshold) if threshold > 0.0 else -np.inf))
     if keep.size == 0:
         return []
 
     # candidates in enumeration order (start, width, label) — argwhere is
     # row-major so this IS that order; the stable sort below preserves it
     # for ties, pinning the tie-break total order.
+    kept_probs = sigmoid(logits[keep[:, 0], keep[:, 1], keep[:, 2]])
     candidates = []
-    for s, w, li in keep:
+    for (s, w, li), p in zip(keep.tolist(), kept_probs.tolist()):
         e = s + w  # inclusive end word
         if e >= n_words:
             continue
-        candidates.append((int(s), int(e), int(li), float(probs[s, w, li])))
+        candidates.append((s, e, li, p))
     if not candidates:
         return []
 
