@@ -32,10 +32,11 @@ def mentions_from_entities(entities: DataFrame, doc_col: str = "doc_id") -> Data
 
 
 def surface_to_canonical(mentions_with_map: DataFrame) -> DataFrame:
-    """(lower(text), label) -> canonical_id majority map (min id wins ties).
+    """(lower(text), label) -> canonical_id map.
 
-    Used to resolve triple endpoints (surface forms) to node ids without
-    re-running extraction."""
+    Surface-level linking guarantees one canonical_id per (surface, label);
+    the min() is a deterministic no-op guard. Used to resolve triple
+    endpoints (surface forms) to node ids without re-running extraction."""
     return (
         mentions_with_map.groupBy(
             F.lower(F.col("text")).alias("surface"), F.col("label")

@@ -84,34 +84,6 @@ def verify_pairs_by_cosine(
     )
 
 
-def canonicalize(
-    mentions: DataFrame, verified_pairs: DataFrame, cfg: LinkingConfig | None = None
-):
-    """-> (mention_map(mention_id, canonical_id), nodes)."""
-    cfg = cfg or LinkingConfig()
-    cc = connected_components(
-        verified_pairs, src="mention_a", dst="mention_b",
-        max_iterations=cfg.max_cc_iterations,
-    )
-    mention_map = (
-        mentions.select("mention_id")
-        .join(cc.withColumnRenamed("node", "mention_id"), "mention_id", "left")
-        .select(
-            "mention_id",
-            F.coalesce("component", "mention_id").alias("canonical_id"),
-        )
-    )
-    nodes = (
-        mentions.join(mention_map, "mention_id")
-        .groupBy("canonical_id", "label")
-        .agg(
-            F.sort_array(F.collect_set("text")).alias("surface_forms"),
-            F.count(F.lit(1)).alias("n_mentions"),
-        )
-    )
-    return mention_map, nodes
-
-
 def link_mentions(mentions: DataFrame, cfg: LinkingConfig | None = None):
     """Full linking stage -> (mention_map, nodes, verified_pairs).
 

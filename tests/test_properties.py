@@ -1,0 +1,126 @@
+"""Property-based invariants (hypothesis) for the pure kernels.
+
+The reference has no property tests (SURVEY §5.1); these pin the
+invariants that golden cases can't cover exhaustively.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from glinerswift_spark.functions.chunker import chunk_text
+from glinerswift_spark.functions.text import word_spans, word_tokens
+from glinerswift_spark.scoring.core import (
+    Entity,
+    decode_spans,
+    logit,
+    merge_chunk_entities,
+    sigmoid,
+)
+
+words_strategy = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=8), min_size=0, max_size=120
+)
+
+
+@given(words_strategy, st.integers(256, 600), st.integers(0, 128), st.integers(5, 60))
+@settings(max_examples=60, deadline=None)
+def test_chunker_tiles_all_words(words, max_chars, overlap, max_words):
+    text = " ".join(words)
+    chunks = chunk_text(text, max_chars, overlap, max_words)
+    # every chunk slices the original exactly
+    for c in chunks:
+        assert text[c.start : c.end] == c.text
+        assert not c.text or (not c.text[0].isspace() and not c.text[-1].isspace())
+    # no word is lost: the union of chunk words covers the text's words
+    covered = set()
+    for c in chunks:
+        for _, s, e in word_tokens(c.text):
+            covered.add((c.start + s, c.start + e))
+    original = {(s, e) for _, s, e in word_tokens(text)}
+    assert original <= covered
+
+
+@given(words_strategy)
+@settings(max_examples=30, deadline=None)
+def test_word_spans_are_slices(words):
+    text = "  ".join(words)
+    for w, s, e in word_tokens(text):
+        assert text[s:e] == w
+
+
+@st.composite
+def logits_case(draw):
+    n_words = draw(st.integers(1, 12))
+    n_labels = draw(st.integers(1, 3))
+    max_w = 8
+    lg = np.full((n_words, max_w, n_labels), -1e30)
+    n_hits = draw(st.integers(0, 15))
+    for _ in range(n_hits):
+        s = draw(st.integers(0, n_words - 1))
+        w = draw(st.integers(0, min(max_w, n_words - s) - 1))
+        li = draw(st.integers(0, n_labels - 1))
+        lg[s, w, li] = logit(draw(st.floats(0.01, 0.99)))
+    return n_words, n_labels, lg
+
+
+@given(logits_case(), st.floats(0.05, 0.95))
+@settings(max_examples=60, deadline=None)
+def test_nms_invariants(case, threshold):
+    n_words, n_labels, lg = case
+    text = " ".join("w" for _ in range(n_words))
+    spans = word_spans(text)
+    got = decode_spans(lg, [f"l{i}" for i in range(n_labels)], threshold, text, spans)
+    # all above threshold
+    assert all(g.score >= threshold - 1e-12 for g in got)
+    # pairwise non-overlapping char ranges (flat NMS)
+    for i, a in enumerate(got):
+        for b in got[i + 1 :]:
+            assert a.end <= b.start or b.end <= a.start
+    # output ordered by (start asc, score desc)
+    keys = [(g.start, -g.score) for g in got]
+    assert keys == sorted(keys)
+    # greedy: the single highest-probability candidate always survives
+    finite = lg[lg > -1e29]
+    if finite.size:
+        best = float(sigmoid(finite.max()))
+        if best >= threshold:
+            assert any(abs(g.score - best) < 1e-12 for g in got)
+
+
+entity_strategy = st.builds(
+    Entity,
+    text=st.sampled_from(["alpha", "Alpha", "beta", "gamma delta"]),
+    label=st.sampled_from(["a", "b"]),
+    score=st.floats(0.1, 1.0),
+    start=st.integers(0, 50),
+    end=st.integers(51, 100),
+)
+
+
+@given(st.lists(st.lists(entity_strategy, max_size=6), min_size=2, max_size=4))
+@settings(max_examples=60, deadline=None)
+def test_merge_invariants(per_chunk):
+    merged = merge_chunk_entities(per_chunk)
+    # no surviving same-label pair overlaps or shares lowercased text
+    for i, a in enumerate(merged):
+        for b in merged[i + 1 :]:
+            if a.label != b.label:
+                continue
+            assert a.text.lower() != b.text.lower()
+            assert not (a.start < b.end and b.start < a.end)
+    # every input entity is represented: itself kept, or dominated by a
+    # kept same-label entity with >= score
+    kept = set(id(e) for e in merged)
+    for chunk in per_chunk:
+        for e in chunk:
+            if id(e) in kept:
+                continue
+            assert any(
+                k.label == e.label
+                and k.score >= e.score
+                and (
+                    k.text.lower() == e.text.lower()
+                    or (k.start < e.end and e.start < k.end)
+                )
+                for k in merged
+            )
