@@ -222,6 +222,85 @@ class HashEmbeddingBackend:
         return rng.standard_normal(20)
 
 
+@dataclass(frozen=True)
+class NeuralStubSpec:
+    """The complete GLiNER2-shaped dataflow with deterministic weights:
+
+      words -> hashed word embeddings (stand-in for transformer hidden
+      states, first-subword gather P7) -> BiLSTM contextualizer -> span
+      representation head (FFN over [h_start ‖ h_end]) -> dot product
+      against label embeddings (the reference's
+      einsum("lkd,bpd->bplk") scoring, ref Scripts/dump_gliner2_tensors.py:83)
+      -> logits.
+
+    Numerics live in scoring/heads.py; trained weights would drop into the
+    same classes via the S1/S3 manifest loaders. This is the
+    cost-realistic backend: per-doc LSTM + FFN FLOPs dominate, like a real
+    encoder."""
+
+    dim: int = 64
+    lstm_hidden: int = 32
+    rep_dim: int = 64
+    seed: int = 42
+    scale: float = 4.0
+    bias: float = -2.0
+
+    def build(self) -> "NeuralStubBackend":
+        return NeuralStubBackend(self)
+
+
+class NeuralStubBackend:
+    def __init__(self, spec: NeuralStubSpec):
+        from glinerswift_spark.scoring.heads import SpanRepHead
+
+        self.spec = spec
+        self.head = SpanRepHead(
+            spec.dim, spec.lstm_hidden, spec.rep_dim, seed_key=f"head:{spec.seed}"
+        )
+        self._word_cache: dict = {}
+        self._label_cache: dict = {}
+
+    def _word(self, w: str) -> np.ndarray:
+        v = self._word_cache.get(w)
+        if v is None:
+            v = self._word_cache[w] = _hash_vec(w.lower(), self.spec.dim, self.spec.seed)
+        return v
+
+    def _labels(self, labels: list) -> np.ndarray:
+        key = tuple(labels)
+        m = self._label_cache.get(key)
+        if m is None:
+            m = np.stack(
+                [_hash_vec("label:" + lb, self.spec.rep_dim, self.spec.seed) for lb in labels]
+            )
+            self._label_cache[key] = m
+        return m
+
+    def score_document(self, text: str, spans: list, labels: list) -> np.ndarray:
+        from glinerswift_spark.config import DEFAULT_CONFIG
+
+        n = len(spans)
+        max_w = DEFAULT_CONFIG.max_span_width
+        n_lb = len(labels)
+        if n == 0 or n_lb == 0:
+            return np.full((n, max_w, n_lb), NEG_INF)
+        words = np.stack([self._word(text[s:e]) for s, e in spans])
+        span_rep = self.head(words, max_w)           # [n, max_w, rep]
+        logits = span_rep @ self._labels(labels).T   # [n, max_w, L]
+        logits = logits * self.spec.scale + self.spec.bias
+        # mask spans that run past the document end (start > n-1-w)
+        for w in range(1, max_w):
+            logits[max(n - w, 0) :, w, :] = NEG_INF
+        return logits
+
+    def count_logits(self, text: str, structure_name: str) -> np.ndarray:
+        h = hashlib.md5(
+            f"ncount:{self.spec.seed}:{structure_name}:{text[:64]}".encode()
+        ).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+        return rng.standard_normal(20)
+
+
 _BACKEND_CACHE: dict = {}
 
 
