@@ -34,9 +34,10 @@ RUN_TEMPLATE = r"""
 import json, statistics, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession, functions as F
+from glinerswift_spark.config import RelationConfig
 from glinerswift_spark.plans.kg_pipeline import extract_triples_fused
 from glinerswift_spark.scoring.backends import (
-    FLAGSHIP_LABELS, HashEmbeddingSpec, flagship_gazetteer)
+    FLAGSHIP_LABELS, HashEmbeddingSpec, NeuralStubSpec, flagship_gazetteer)
 
 cpus = {cpus}
 backend_kind = {backend!r}
@@ -53,13 +54,24 @@ docs = spark.read.parquet({input_path!r})
 n_docs = docs.count()
 
 if backend_kind == "hash":
-    # model-cost-shaped backend: dense span x label scoring per doc
+    # dense span x label scoring per doc
     spec, thr = HashEmbeddingSpec(), 0.15
+elif backend_kind == "neural":
+    # full neural dataflow (BiLSTM + FFN span-rep head) — the most
+    # model-realistic per-doc cost; untrained weights are label-skewed,
+    # so the (configurable) relation templates cover all label pairs
+    spec, thr = NeuralStubSpec(), 0.3
 else:
     spec, thr = flagship_gazetteer(), 0.5
 
+rcfg = RelationConfig()
+if backend_kind == "neural":
+    rcfg = RelationConfig(templates={{
+        (a, b): "related_to" for a in FLAGSHIP_LABELS for b in FLAGSHIP_LABELS}})
+
 def job():
-    return extract_triples_fused(docs, FLAGSHIP_LABELS, spec, threshold=thr)
+    return extract_triples_fused(docs, FLAGSHIP_LABELS, spec, threshold=thr,
+                                 relation_cfg=rcfg)
 
 # warmup = one full untimed pass: spins up every Python worker and warms
 # the OS file cache identically at both parallelism levels (reference
@@ -131,7 +143,7 @@ def main():
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--backend", default="gazetteer", choices=["gazetteer", "hash"])
+    ap.add_argument("--backend", default="gazetteer", choices=["gazetteer", "hash", "neural"])
     args = ap.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="scaling_input_")
