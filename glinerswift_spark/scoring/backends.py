@@ -117,6 +117,36 @@ class GazetteerBackend:
                             out[s, w, li] = lg
         return out
 
+    def score_document_sparse(
+        self, text: str, spans: list, labels: list
+    ) -> list:
+        """Sparse scoring: only the matched (start_word, width_idx,
+        label_idx, logit) hits, in dense enumeration order (s asc, w asc,
+        li asc) so `decode_candidates` reproduces the dense path's
+        tie-break total order exactly. A lexicon backend touches ~10 cells
+        of the [words x widths x labels] tensor per document — emitting
+        just those skips the dense allocation + argwhere scan entirely."""
+        from glinerswift_spark.config import DEFAULT_CONFIG
+
+        n = len(spans)
+        max_w = DEFAULT_CONFIG.max_span_width
+        label_idx = {lb: i for i, lb in enumerate(labels)}
+        wmax = min(max_w, self.max_phrase_words)
+        by_surface = self.by_surface
+        out = []
+        for s in range(n):
+            cs = spans[s][0]
+            for w in range(min(wmax, n - s)):
+                hit = by_surface.get(text[cs : spans[s + w][1]].lower())
+                if hit:
+                    cells = sorted(
+                        (li, lg)
+                        for lb, lg in hit.items()
+                        if (li := label_idx.get(lb)) is not None
+                    )
+                    out.extend((s, w, li, lg) for li, lg in cells)
+        return out
+
     def count_logits(self, text: str, structure_name: str) -> np.ndarray:
         """Deterministic count head for the lexicon backend: number of
         DISTINCT lexicon surfaces present (word-level), one-hot logits."""

@@ -22,7 +22,7 @@ in ref Scripts/generate_test_fixtures.py:80-106, which uses a stable sort.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass  # noqa: F401
 
 import numpy as np
 
@@ -104,20 +104,7 @@ def decode_spans(
     if not candidates:
         return []
 
-    # greedy flat NMS (ref SpanDecoder.swift:71-96)
-    candidates.sort(key=lambda c: -c[3])  # stable: ties keep enum order
-    chosen: list[tuple[int, int, int, float]] = []
-    for cand in candidates:
-        s, e, li, score = cand
-        ok = True
-        for cs, ce, _, _ in chosen:
-            if (s == cs and e == ce) or not (s > ce or cs > e):
-                ok = False
-                break
-        if ok:
-            chosen.append(cand)
-
-    chosen.sort(key=lambda c: (c[0], -c[3]))  # ref SpanDecoder.swift:80-85
+    chosen = greedy_select_candidates(candidates)
     out = []
     for s, e, li, score in chosen:
         cs = spans[s][0]
@@ -174,6 +161,66 @@ def decode_spans_legacy(
                 break
         if not dup:
             chosen.append((s, e, li, score))
+    out = []
+    for s, e, li, score in chosen:
+        cs, ce = spans[s][0], spans[e][1]
+        out.append(Entity(text[cs:ce], labels[li], score, cs, ce))
+    return out
+
+
+def greedy_select_candidates(
+    candidates: list[tuple[int, int, int, float]],
+) -> list[tuple[int, int, int, float]]:
+    """Greedy flat NMS over (start_word, end_word_incl, label_idx, prob)
+    candidates that are ALREADY thresholded and in enumeration order.
+    Shared by the dense and sparse decode paths — one implementation of
+    the pinned tie-break total order (ref SpanDecoder.swift:71-96)."""
+    candidates = sorted(candidates, key=lambda c: -c[3])  # stable
+    chosen: list[tuple[int, int, int, float]] = []
+    for cand in candidates:
+        s, e, _li, _score = cand
+        ok = True
+        for cs, ce, _, _ in chosen:
+            if (s == cs and e == ce) or not (s > ce or cs > e):
+                ok = False
+                break
+        if ok:
+            chosen.append(cand)
+    chosen.sort(key=lambda c: (c[0], -c[3]))  # ref SpanDecoder.swift:80-85
+    return chosen
+
+
+def decode_candidates(
+    candidates: list[tuple[int, int, int, float]],
+    labels: list[str],
+    threshold: float,
+    text: str,
+    spans: list[tuple[int, int]],
+) -> list[Entity]:
+    """Sparse decode path: backend supplies only the non-masked
+    (start_word, width_idx, label_idx, logit) hits in enumeration order —
+    no dense [words x widths x labels] tensor is ever allocated. Exactly
+    the dense decode semantics (threshold inclusive, same NMS, same
+    ordering); lexicon-style backends with ~10 hits per document skip
+    ~99% of the dense path's allocation and scan work."""
+    n_words = len(spans)
+    if n_words == 0 or not labels or not candidates:
+        return []
+    if threshold >= 1.0:
+        return []
+    logit_thr = logit(threshold) if threshold > 0.0 else float("-inf")
+    kept = [
+        (s, s + w, li, lg)
+        for s, w, li, lg in candidates
+        if s + w < n_words and lg >= logit_thr
+    ]
+    if not kept:
+        return []
+    # same vectorized sigmoid as the dense path — scores must be
+    # bit-identical between the two decodes (oracle hashes them)
+    probs = sigmoid(np.array([k[3] for k in kept], dtype=np.float64))
+    kept = [(s, e, li, float(p)) for (s, e, li, _), p in zip(kept, probs.tolist())]
+    chosen = greedy_select_candidates(kept)
     out = []
     for s, e, li, score in chosen:
         cs, ce = spans[s][0], spans[e][1]

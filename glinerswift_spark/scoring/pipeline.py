@@ -19,6 +19,7 @@ from glinerswift_spark.functions.chunker import chunk_text, should_chunk
 from glinerswift_spark.functions.text import word_spans
 from glinerswift_spark.scoring.core import (
     Entity,
+    decode_candidates,
     decode_spans,
     merge_chunk_entities,
     shift_entities,
@@ -36,10 +37,16 @@ def extract_document(
         return []  # ref GLiNERModel.swift:126,363 — empty in, empty out
     thr = config.threshold if threshold is None else threshold
 
+    sparse = getattr(backend, "score_document_sparse", None)
+
     def run(piece: str) -> list[Entity]:
         spans = word_spans(piece)
         if not spans:
             return []
+        if sparse is not None:
+            # lexicon-style backends emit only matched cells — identical
+            # decode semantics, no dense [words x widths x labels] tensor
+            return decode_candidates(sparse(piece, spans, labels), labels, thr, piece, spans)
         logits = backend.score_document(piece, spans, labels)
         return decode_spans(logits, labels, thr, piece, spans)
 

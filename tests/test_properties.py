@@ -11,6 +11,7 @@ from glinerswift_spark.functions.chunker import chunk_text
 from glinerswift_spark.functions.text import word_spans, word_tokens
 from glinerswift_spark.scoring.core import (
     Entity,
+    decode_candidates,
     decode_spans,
     logit,
     merge_chunk_entities,
@@ -85,6 +86,57 @@ def test_nms_invariants(case, threshold):
         best = float(sigmoid(finite.max()))
         if best >= threshold:
             assert any(abs(g.score - best) < 1e-12 for g in got)
+
+
+@given(logits_case(), st.floats(0.05, 0.95))
+@settings(max_examples=60, deadline=None)
+def test_sparse_decode_matches_dense(case, threshold):
+    """decode_candidates on the non-masked cells (enumeration order) must
+    reproduce decode_spans on the dense tensor exactly — same entities,
+    same scores, same NMS tie-breaks."""
+    n_words, n_labels, lg = case
+    labels = [f"l{i}" for i in range(n_labels)]
+    text = " ".join("w" for _ in range(n_words))
+    spans = word_spans(text)
+    sparse = [
+        (s, w, li, float(lg[s, w, li]))
+        for s in range(lg.shape[0])
+        for w in range(lg.shape[1])
+        for li in range(lg.shape[2])
+        if lg[s, w, li] > -1e29
+    ]
+    dense = decode_spans(lg, labels, threshold, text, spans)
+    got = decode_candidates(sparse, labels, threshold, text, spans)
+    assert [(g.text, g.label, g.start, g.end) for g in got] == [
+        (d.text, d.label, d.start, d.end) for d in dense
+    ]
+    assert all(abs(g.score - d.score) < 1e-12 for g, d in zip(got, dense))
+
+
+def test_gazetteer_sparse_path_parity():
+    """GazetteerBackend.score_document_sparse + decode_candidates ==
+    dense score_document + decode_spans on real lexicon text."""
+    from glinerswift_spark.scoring.backends import FLAGSHIP_LABELS, flagship_gazetteer
+
+    b = flagship_gazetteer().build()
+    texts = [
+        "the hash join reads the table and the sort merge join writes a row",
+        "scan scan scan",
+        "no lexicon words here at all",
+        "",
+        "query Query QUERY filter",
+    ]
+    for text in texts:
+        spans = word_spans(text)
+        dense = decode_spans(
+            b.score_document(text, spans, FLAGSHIP_LABELS),
+            FLAGSHIP_LABELS, 0.3, text, spans,
+        ) if spans else []
+        got = decode_candidates(
+            b.score_document_sparse(text, spans, FLAGSHIP_LABELS),
+            FLAGSHIP_LABELS, 0.3, text, spans,
+        )
+        assert got == dense
 
 
 entity_strategy = st.builds(
