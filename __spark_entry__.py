@@ -47,11 +47,15 @@ RELATION_WINDOW = 100
 # ---------------------------------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from glinerswift_spark.sources.pages import read_documents
+
+    return read_documents(spark, sf_dir)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from glinerswift_spark.sources.pages import read_embeddings
+
+    return read_embeddings(spark, sf_dir)
 
 
 def _q_kg_entities(spark, sf_dir):
@@ -570,7 +574,7 @@ FROM documents GROUP BY 1"""
     sql["minhash_pairs"] = f"""WITH {_SHINGLE_CTE},
 sig AS (
     SELECT doc_id, b,
-           list_min(list_transform(s, x -> md5(b::VARCHAR || ':' || x))) AS m
+           list_min(list_transform(s, x -> substring(md5(x), 8 * (b - 1) + 1, 8))) AS m
     FROM sh, unnest(generate_series(1, 4)) AS t(b)
     GROUP BY ALL
 ),

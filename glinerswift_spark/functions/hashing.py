@@ -35,11 +35,28 @@ def shingles_expr(words: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_band_sig(shingles: Column, band: int) -> Column:
-    """min(md5('<band>:' || shingle)) — lexicographic min over hex strings."""
+def shingle_hashes(shingles: Column) -> Column:
+    """md5 hex per shingle — computed ONCE; band signatures slice it."""
+    return F.transform(shingles, F.md5)
+
+
+def minhash_band_sig_from_hashes(hashes: Column, band: int) -> Column:
+    """Band signature = lexicographic min over 8-hex-char slices of the
+    per-shingle md5. One md5 serves all bands (slices of a cryptographic
+    hash are independent), so signature computation costs 1 hash per
+    shingle instead of num_bands — at 10^12 docs the scan-side hash work
+    is the dominant CPU cost of LSH. Bands 1..4 for a 32-char md5."""
     return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{band}:"), s)))
+        F.transform(hashes, lambda h: F.substring(h, 8 * (band - 1) + 1, 8))
     )
+
+
+def minhash_band_sig(shingles: Column, band: int) -> Column:
+    """min over shingles of an 8-hex-char band slice of md5(shingle).
+
+    Compatibility wrapper; prefer materializing ``shingle_hashes`` as a
+    column first so the planner computes md5 once across bands."""
+    return minhash_band_sig_from_hashes(shingle_hashes(shingles), band)
 
 
 def rolling_word_fingerprint(words: Column) -> Column:

@@ -27,14 +27,17 @@ def connected_components(
     max_iterations: int = 20,
 ) -> DataFrame:
     """edges(src, dst) -> (node, component) with component = min node id."""
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+    # checkpoint FIRST: the (possibly expensive) edge computation upstream
+    # materializes exactly once — symmetrizing via union would otherwise
+    # evaluate the whole upstream plan twice (once per direction)
+    base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
     )
-    # checkpoint BEFORE deriving labels: the (possibly expensive) edge
-    # computation upstream materializes exactly once
-    sym = sym.localCheckpoint(eager=True)
+    sym = (
+        base.unionByName(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

@@ -24,11 +24,12 @@ __spark_entry__.py runs the same formulas verbatim.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from glinerswift_spark.functions.hashing import (
     cosine,
-    minhash_band_sig,
+    minhash_band_sig_from_hashes,
+    shingle_hashes,
     shingles_expr,
     words_col,
 )
@@ -48,10 +49,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def doc_shingles(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, shingles array) for docs with at least n words."""
+    """(id, shingles array) for docs with at least n words.
+
+    Shingle construction is the CPU-dense part of every dedup operator,
+    so the input is widened to core count if the scan is narrower
+    (no-op at scale — see widen_small_scan)."""
+    from glinerswift_spark.sources.pages import widen_small_scan
+
     w = words_col(text_col)
     return (
-        df.select(F.col(id_col), w.alias("__w"))
+        widen_small_scan(df, id_col)
+        .select(F.col(id_col), w.alias("__w"))
         .where(F.size("__w") >= n)
         .select(id_col, shingles_expr(F.col("__w"), n).alias("shingles"))
     )
@@ -71,14 +79,19 @@ def minhash_candidate_pairs(
     web scale) before the self-join — the quadratic guard.
     """
     sh = doc_shingles(df, n, text_col, id_col)
-    sigs = sh.select(
+    # md5 per shingle materialized ONCE as its own projection; the band
+    # signatures below reference it 4x, which CollapseProject leaves
+    # un-inlined (expensive expr, multiple references) — 1 hash/shingle
+    # instead of num_bands
+    hashed = sh.select(F.col(id_col), shingle_hashes(F.col("shingles")).alias("__h"))
+    sigs = hashed.select(
         id_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        minhash_band_sig(F.col("shingles"), b).alias("sig"),
+                        minhash_band_sig_from_hashes(F.col("__h"), b).alias("sig"),
                     )
                     for b in range(1, num_bands + 1)
                 ]
@@ -148,40 +161,49 @@ def ngram_jaccard_pairs(
 SIMHASH_BITS = 16
 
 
-def simhash16(words: Column) -> Column:
-    """16-bit SimHash over a words array, pure column expressions.
+def simhash_word_values(words: Column) -> Column:
+    """Per-word 16-bit hash values: conv(first 4 hex chars of md5, 16, 10).
+    Computed ONCE per word; `simhash16_from_values` extracts all 16 bits
+    from this integer. Materialize as its own projection so the planner
+    never duplicates the md5 across the 16 bit-sums."""
+    return F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long")
+    )
 
-    Per word: first 4 hex chars of md5(word) = 16 bits. Document bit i is
-    the majority vote of word-bit i. Built from ANSI constructs only
-    (md5/substring/strpos/arithmetic) so the DuckDB oracle replays it
-    verbatim. 16 bits is plenty for blocking duplicates at hamming<=3;
-    widen by taking more hex chars if needed.
-    """
-    n = F.size(words)
 
-    def bit_expr(w, hex_pos, shift):
-        # hex digit value via 1-based position in '0123456789abcdef'
-        return (
-            F.floor(
-                (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(w), hex_pos, 1)) - 1)
-                / F.lit(2 ** shift)
-            )
-            % 2
-        )
+def simhash16_from_values(vals: Column) -> Column:
+    """16-bit SimHash from per-word 16-bit hash values.
 
-    def make_merge(hex_pos, shift):
-        return lambda acc, w: acc + bit_expr(w, hex_pos, shift).cast("long")
+    Document bit i is the majority vote of word-bit i, where word-bit i =
+    bit (15 - i) of the word's hash value — identical to reading hex digit
+    i//4 of the md5 and taking bit 3-(i%4), i.e. the exact construction
+    the DuckDB oracle replays per hex digit. One md5 per word total,
+    versus one per (word, bit) if each bit-sum re-hashed."""
+    n = F.size(vals)
+
+    def make_merge(i):
+        return lambda acc, v: acc + F.shiftright(v, 15 - i) % 2
 
     bit_sums = [
-        F.aggregate(
-            words, F.lit(0).cast("long"), make_merge(i // 4 + 1, 3 - (i % 4))
-        )
+        F.aggregate(vals, F.lit(0).cast("long"), make_merge(i))
         for i in range(SIMHASH_BITS)
     ]
     out = F.lit(0).cast("long")
     for i, s in enumerate(bit_sums):
         out = out + F.when(s * 2 >= n, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
     return out
+
+
+def simhash16(words: Column) -> Column:
+    """16-bit SimHash over a words array, pure column expressions.
+
+    Per word: first 4 hex chars of md5(word) = 16 bits. Document bit i is
+    the majority vote of word-bit i. Built from ANSI constructs only
+    (md5/substring/conv/arithmetic) so the DuckDB oracle replays it
+    verbatim. 16 bits is plenty for blocking duplicates at hamming<=3;
+    widen by taking more hex chars if needed.
+    """
+    return simhash16_from_values(simhash_word_values(words))
 
 
 def simhash_pairs(
@@ -193,8 +215,14 @@ def simhash_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with hamming(simhash) <= max_hamming,
     blocked by ``block_col`` (equi-join, never all-pairs across blocks)."""
-    sh = df.select(
-        F.col(id_col), F.col(block_col), simhash16(words_col(text_col)).alias("sh")
+    from glinerswift_spark.sources.pages import widen_small_scan
+
+    sh = widen_small_scan(df, id_col).select(
+        F.col(id_col),
+        F.col(block_col),
+        simhash_word_values(words_col(text_col)).alias("__v"),
+    ).select(
+        id_col, block_col, simhash16_from_values(F.col("__v")).alias("sh")
     )
     a = sh.select(F.col(block_col), F.col(id_col).alias("doc_a"), F.col("sh").alias("sa"))
     b = sh.select(F.col(block_col), F.col(id_col).alias("doc_b"), F.col("sh").alias("sb"))
@@ -213,26 +241,53 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = "label",
+    n_buckets: int = 8,
 ) -> DataFrame:
     """(vec_a, vec_b, cos) pairs with cosine >= threshold, blocked by
-    ``block_col`` so the join is an equi-join, never a cross join."""
+    ``block_col`` so the join is an equi-join, never a cross join.
+
+    Triangle bucketing: a plain blocked self-join has parallelism equal to
+    the number of distinct block values (a handful of labels -> a handful
+    of tasks doing ALL the pairwise cosines). Each row is hashed into one
+    of ``n_buckets``; an unordered pair with buckets {p, q} (p <= q) is
+    produced in exactly one grid cell — the row in bucket p arrives on the
+    left (replicated for every q >= p), the row in bucket q on the right
+    (replicated for every p <= q) — so the join key (block, p, q) has
+    ~|blocks| * B(B+1)/2 values and the cosine work spreads across that
+    many tasks. Replication factor is ~B/2 on the row count (vectors are
+    small next to the quadratic pair work this parallelizes). Result set
+    is identical to the plain self-join: same-bucket cells keep id< order,
+    cross-bucket cells emit least/greatest ids."""
+    from glinerswift_spark.sources.pages import widen_small_scan
+
     cols = [id_col, vec_col] + ([block_col] if block_col else [])
-    base = emb.select(*cols)
+    bk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
+    base = widen_small_scan(emb, id_col).select(*cols, bk.alias("__bk"))
+    blk = [F.col(block_col)] if block_col else []
     a = base.select(
-        *([F.col(block_col)] if block_col else []),
-        F.col(id_col).alias("vec_a"),
+        *blk,
+        F.col(id_col).alias("__ia"),
         F.col(vec_col).alias("__va"),
+        F.col("__bk").alias("__p"),
+        F.explode(F.sequence(F.col("__bk"), F.lit(n_buckets - 1))).alias("__q"),
     )
     b = base.select(
-        *([F.col(block_col)] if block_col else []),
-        F.col(id_col).alias("vec_b"),
+        *blk,
+        F.col(id_col).alias("__ib"),
         F.col(vec_col).alias("__vb"),
+        F.explode(F.sequence(F.lit(0), F.col("__bk"))).alias("__p"),
+        F.col("__bk").alias("__q"),
     )
-    on = [block_col] if block_col else []
-    joined = a.join(b, on=on) if on else a.crossJoin(b)
+    on = ([block_col] if block_col else []) + ["__p", "__q"]
+    joined = a.join(b, on=on).where(
+        (F.col("__p") < F.col("__q")) | (F.col("__ia") < F.col("__ib"))
+    )
     c = cosine(F.col("__va"), F.col("__vb"))
     return (
-        joined.where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(c, 6).alias("cos"))
+        joined.select(
+            F.least("__ia", "__ib").alias("vec_a"),
+            F.greatest("__ia", "__ib").alias("vec_b"),
+            F.round(c, 6).alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
     )

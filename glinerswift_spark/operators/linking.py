@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from glinerswift_spark.config import LinkingConfig
-from glinerswift_spark.functions.hashing import cosine, minhash_band_sig
+from glinerswift_spark.functions.hashing import (
+    cosine,
+    minhash_band_sig_from_hashes,
+    shingle_hashes,
+)
 from glinerswift_spark.operators.components import connected_components
 
 
@@ -37,7 +41,7 @@ def mention_candidate_pairs(
     sh = mentions.select(
         "mention_id",
         "label",
-        char_shingles(F.col("text"), cfg.shingle_size).alias("__sh"),
+        shingle_hashes(char_shingles(F.col("text"), cfg.shingle_size)).alias("__h"),
     )
     sigs = sh.select(
         "mention_id",
@@ -47,7 +51,7 @@ def mention_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        minhash_band_sig(F.col("__sh"), b).alias("sig"),
+                        minhash_band_sig_from_hashes(F.col("__h"), b).alias("sig"),
                     )
                     for b in range(1, cfg.num_bands + 1)
                 ]

@@ -20,6 +20,27 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def widen_small_scan(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition on ``key`` ONLY when the upstream plan yields
+    fewer partitions than cores.
+
+    For CPU-dense per-row work (shingling, per-word hashing) a small
+    table whose parquet is a single row group pins one core no matter how
+    many exist — the scan cannot be split below row-group granularity.
+    At 100 TB the scan already produces far more splits than cores, the
+    guard is false, and NO shuffle is added. Hash partitioning (not
+    round-robin) so Spark skips the sort-before-repartition pass
+    round-robin needs for retry determinism. Apply this inside
+    compute-heavy operators, not at the loader: cheap queries and
+    broadcast-friendly plans (e.g. ANN top-k) are faster WITHOUT the
+    extra exchange.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
+    return df
+
+
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
