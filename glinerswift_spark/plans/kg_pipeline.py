@@ -32,8 +32,9 @@ from pyspark.sql.types import (
 from glinerswift_spark.config import Configuration, DEFAULT_CONFIG, RelationConfig
 from glinerswift_spark.operators.extract import extract_entities
 from glinerswift_spark.operators.relations import (
+    build_pred_codes,
+    emit_triples_coded,
     entities_to_triples,
-    triples_from_entity_list,
 )
 from glinerswift_spark.scoring.backends import get_backend
 from glinerswift_spark.scoring.pipeline import extract_document
@@ -69,31 +70,44 @@ def extract_triples_fused(
     cols = [f.name for f in out_schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         backend = get_backend(backend_spec)
+        pred_cats, tmap = build_pred_codes(rcfg)
+        window = rcfg.window_chars
+
         for pdf in batches:
-            subj, pred, obj, docs_out, score = [], [], [], [], []
-            for doc_id, text in zip(pdf[doc_col], pdf[text_col]):
+            docs_np = pdf[doc_col].to_numpy()
+            texts = pdf[text_col]
+            # dictionary-encode the (heavily repeated) string columns AS
+            # codes while emitting: surface/pred appends are small cached
+            # ints, not strings, and Categorical.from_codes skips the
+            # factorization pass. Arrow then ships int codes + a small
+            # per-batch dictionary — at ~100 triples/doc this cuts both
+            # the python->JVM IPC volume and the per-triple Python object
+            # churn (the measured scaling bottleneck: allocator/kernel
+            # time, not compute).
+            surf_code: dict[str, int] = {}
+            subj_c: list[int] = []
+            pred_c: list[int] = []
+            obj_c: list[int] = []
+            scores: list[float] = []
+            counts = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(len(pdf)):
                 ents = extract_document(
-                    text, labels, backend, threshold=threshold, config=config
+                    texts.iat[i], labels, backend, threshold=threshold, config=config
                 )
-                for s, p, o, d, sc in triples_from_entity_list(ents, rcfg, doc_id):
-                    subj.append(s)
-                    pred.append(p)
-                    obj.append(o)
-                    docs_out.append(d)
-                    score.append(sc)
-            # dictionary-encode the (heavily repeated) string columns:
-            # Arrow ships int codes + a small per-batch dictionary instead
-            # of repeating every surface form — at ~100 triples/doc this
-            # cuts the python->JVM IPC volume by ~5-10x, which is the
-            # bottleneck of the fused stage (kernel time, not compute).
+                counts[i] = emit_triples_coded(
+                    ents, tmap, window, surf_code, subj_c, pred_c, obj_c, scores
+                )
+            cats = list(surf_code)
             yield pd.DataFrame(
                 {
-                    cols[0]: pd.Categorical(subj),
-                    cols[1]: pd.Categorical(pred),
-                    cols[2]: pd.Categorical(obj),
-                    cols[3]: docs_out,
-                    cols[4]: score,
+                    cols[0]: pd.Categorical.from_codes(subj_c, cats),
+                    cols[1]: pd.Categorical.from_codes(pred_c, pred_cats),
+                    cols[2]: pd.Categorical.from_codes(obj_c, cats),
+                    cols[3]: np.repeat(docs_np, counts),
+                    cols[4]: scores,
                 }
             )
 

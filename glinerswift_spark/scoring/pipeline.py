@@ -15,7 +15,7 @@ no shuffle is ever needed for chunk reassembly.
 from __future__ import annotations
 
 from glinerswift_spark.config import Configuration, DEFAULT_CONFIG
-from glinerswift_spark.functions.chunker import chunk_text, should_chunk
+from glinerswift_spark.functions.chunker import chunk_text
 from glinerswift_spark.functions.text import word_spans
 from glinerswift_spark.scoring.core import (
     Entity,
@@ -39,8 +39,9 @@ def extract_document(
 
     sparse = getattr(backend, "score_document_sparse", None)
 
-    def run(piece: str) -> list[Entity]:
-        spans = word_spans(piece)
+    def run(piece: str, spans: list | None = None) -> list[Entity]:
+        if spans is None:
+            spans = word_spans(piece)
         if not spans:
             return []
         if sparse is not None:
@@ -50,8 +51,11 @@ def extract_document(
         logits = backend.score_document(piece, spans, labels)
         return decode_spans(logits, labels, thr, piece, spans)
 
-    if not should_chunk(text, config.chunk_max_words):
-        return run(text)
+    # one regex pass decides chunking AND feeds the short-doc fast path
+    # (should_chunk == word count > max, same WORD_RE as word_spans)
+    spans_full = word_spans(text)
+    if len(spans_full) <= config.chunk_max_words:
+        return run(text, spans_full)
 
     chunks = chunk_text(
         text,
@@ -60,6 +64,6 @@ def extract_document(
         max_words=config.chunk_max_words,
     )
     if len(chunks) <= 1:
-        return run(text)
+        return run(text, spans_full)
     per_chunk = [shift_entities(run(c.text), c.start) for c in chunks]
     return merge_chunk_entities(per_chunk)

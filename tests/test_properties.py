@@ -149,6 +149,47 @@ entity_strategy = st.builds(
 )
 
 
+rel_entity_strategy = st.builds(
+    Entity,
+    text=st.sampled_from(["scan", "join", "table", "row", "Query"]),
+    label=st.sampled_from(["operator", "object", "other"]),
+    score=st.floats(0.1, 1.0),
+    start=st.integers(0, 40),
+    end=st.integers(1, 60),
+)
+
+
+@given(st.lists(rel_entity_strategy, max_size=12), st.integers(0, 30))
+@settings(max_examples=80, deadline=None)
+def test_coded_triple_emitter_matches_pure_twin(ents, window):
+    """emit_triples_coded (the fused hot loop: interned codes, no
+    per-triple tuples) must decode to exactly triples_from_entity_list's
+    output — same triples, same order, same scores."""
+    from glinerswift_spark.config import RelationConfig
+    from glinerswift_spark.operators.relations import (
+        build_pred_codes,
+        emit_triples_coded,
+        triples_from_entity_list,
+    )
+
+    cfg = RelationConfig(window_chars=window)
+    expected = triples_from_entity_list(list(ents), cfg, doc_id=7)
+
+    pred_cats, tmap = build_pred_codes(cfg)
+    surf_code: dict = {}
+    subj_c, pred_c, obj_c, scores = [], [], [], []
+    n = emit_triples_coded(
+        list(ents), tmap, window, surf_code, subj_c, pred_c, obj_c, scores
+    )
+    cats = list(surf_code)
+    got = [
+        (cats[s], pred_cats[p], cats[o], 7, sc)
+        for s, p, o, sc in zip(subj_c, pred_c, obj_c, scores)
+    ]
+    assert n == len(expected)
+    assert got == expected
+
+
 @given(st.lists(st.lists(entity_strategy, max_size=6), min_size=2, max_size=4))
 @settings(max_examples=60, deadline=None)
 def test_merge_invariants(per_chunk):
