@@ -215,7 +215,10 @@ def _q_bench_stats_lang(spark, sf_dir):
 
 
 def _q_kg_nodes(spark, sf_dir):
-    # rows-only: full linking stage (xxhash64 mention ids have no DuckDB twin)
+    # exact oracle: mention ids are 'doc:start:end:label' strings and the
+    # surface->embedding assignment is md5-based, so DuckDB replays the
+    # ENTIRE linking stage (shingle LSH blocking, cosine verification,
+    # recursive connected components, canonical min-id) value-for-value
     from glinerswift_spark.plans.kg_pipeline import build_kg
 
     kg = build_kg(
@@ -230,14 +233,16 @@ def _q_kg_nodes(spark, sf_dir):
 
 
 def _q_kg_edges(spark, sf_dir):
-    # rows-only: depends on linking canonical ids
+    # exact oracle (see _q_kg_nodes); avg_score is dropped from the
+    # compared projection — float sums are order-sensitive across engines,
+    # weight (count) carries the edge semantics exactly
     from glinerswift_spark.plans.kg_pipeline import build_kg
 
     kg = build_kg(
         _docs(spark, sf_dir), _emb(spark, sf_dir),
         FLAGSHIP_LABELS, flagship_gazetteer(), threshold=THRESHOLD,
     )
-    return kg["edges"]
+    return kg["edges"].select("src_id", "pred", "dst_id", "weight")
 
 
 def _q_kg_entities_phrases(spark, sf_dir):
@@ -541,6 +546,81 @@ jpairs AS (
     JOIN sizes sb ON inter.doc_b = sb.doc_id
 )"""
 
+# Full entity-linking replay (graph.mentions_from_entities +
+# kg_pipeline.attach_embeddings + linking.link_mentions): string mention
+# ids 'doc:start:end:label', md5-based surface->vector assignment, char
+# 3-shingle MinHash banding (8-hex slices of one md5, LinkingConfig
+# num_bands=4), cosine>=0.85 verification, recursive connected components,
+# canonical_id = min(mention_id) over the component.
+_LINKING_CTE = """
+mention AS (
+    SELECT CAST(doc_id AS VARCHAR) || ':' || ent_start || ':' || ent_end || ':' || label
+               AS mention_id,
+           doc_id, entity AS text, label
+    FROM ent
+),
+surf AS (
+    SELECT lower(text) AS surface, label, min(mention_id) AS surface_id
+    FROM mention GROUP BY 1, 2
+),
+se AS (
+    SELECT sv.surface, sv.label, sv.surface_id,
+           list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM (
+        SELECT surface, label, surface_id,
+               CAST(concat('0x', substring(md5(surface), 1, 8)) AS BIGINT)
+                 % (SELECT count(*) FROM embeddings) AS vec_id
+        FROM surf
+    ) sv JOIN embeddings e USING (vec_id)
+),
+ssh AS (
+    SELECT surface_id, label,
+           list_distinct(list_transform(
+               generate_series(1, greatest(length(surface) - 2, 1)),
+               i -> substring(surface, i, 3))) AS s
+    FROM se
+),
+ssig AS (
+    SELECT surface_id, label, b,
+           list_min(list_transform(s, x -> substring(md5(x), 8 * (b - 1) + 1, 8))) AS m
+    FROM ssh, unnest(generate_series(1, 4)) AS t(b)
+    GROUP BY ALL
+),
+cand AS (
+    SELECT DISTINCT a.surface_id AS ma, c.surface_id AS mb
+    FROM ssig a JOIN ssig c
+      ON a.label = c.label AND a.b = c.b AND a.m = c.m AND a.surface_id < c.surface_id
+),
+ver AS (
+    SELECT ma, mb FROM (
+        SELECT cand.ma, cand.mb,
+               round(list_sum(list_transform(generate_series(1, len(va.v)),
+                                             i -> va.v[i] * vb.v[i]))
+                     / (sqrt(list_sum(list_transform(va.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(vb.v, x -> x * x)))), 6) AS cos
+        FROM cand
+        JOIN se va ON va.surface_id = cand.ma
+        JOIN se vb ON vb.surface_id = cand.mb
+    ) WHERE cos >= 0.85
+),
+ledges AS (SELECT ma AS a, mb AS b FROM ver UNION SELECT mb, ma FROM ver),
+lreach(a, b) AS (
+    SELECT DISTINCT a, a FROM ledges
+    UNION
+    SELECT r.a, e.b FROM lreach r JOIN ledges e ON r.b = e.a
+),
+lcomp AS (SELECT a AS surface_id, min(b) AS component FROM lreach GROUP BY a),
+canon AS (
+    SELECT s.surface, s.label,
+           coalesce(c.component, s.surface_id) AS canonical_id
+    FROM surf s LEFT JOIN lcomp c USING (surface_id)
+),
+mm AS (
+    SELECT m.mention_id, m.text, m.label, canon.canonical_id
+    FROM mention m
+    JOIN canon ON lower(m.text) = canon.surface AND m.label = canon.label
+)"""
+
 _COS_CTE = """
 __e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label
         FROM embeddings),
@@ -566,6 +646,28 @@ SELECT label, count(*) AS n_mentions,
        count(DISTINCT entity) AS n_surfaces,
        array_to_string(list_sort(list(DISTINCT entity)), '|') AS surfaces
 FROM ent GROUP BY label"""
+
+    sql["kg_nodes"] = f"""WITH RECURSIVE {_ENT_CTE},
+{_LINKING_CTE}
+SELECT canonical_id, label,
+       array_to_string(list_sort(list(DISTINCT text)), '|') AS surface_forms,
+       count(*) AS n_mentions
+FROM mm GROUP BY 1, 2"""
+
+    sql["kg_edges"] = f"""WITH RECURSIVE {_TRIPLE_CTE},
+{_LINKING_CTE},
+smap AS (
+    SELECT lower(text) AS surface, min(canonical_id) AS canonical_id
+    FROM mm GROUP BY 1, label
+),
+resolved AS (
+    SELECT s1.canonical_id AS src_id, t.pred, s2.canonical_id AS dst_id
+    FROM trip t
+    JOIN smap s1 ON lower(t.subj) = s1.surface
+    JOIN smap s2 ON lower(t.obj) = s2.surface
+)
+SELECT src_id, pred, dst_id, count(*) AS weight
+FROM resolved GROUP BY 1, 2, 3"""
 
     sql["exact_dedup"] = """
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keeper
@@ -833,6 +935,6 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY 1, 2"""
 
-    # kg_nodes / kg_edges / ann_lsh: intentionally omitted -> rows-only checks
-    # (xxhash64-derived ids and LSH bucketing have no DuckDB equivalent).
+    # ann_lsh: intentionally omitted -> rows-only check (LSH-bucketed ANN is
+    # approximate by design; the exact brute-force twin is oracled as ann_topk).
     return sql

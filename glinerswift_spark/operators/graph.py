@@ -14,9 +14,13 @@ from pyspark.sql import DataFrame, functions as F
 
 def mentions_from_entities(entities: DataFrame, doc_col: str = "doc_id") -> DataFrame:
     """entities(doc..., label, entity, score, start, end) -> mentions with a
-    deterministic mention_id (dense, stable: hash of (doc, start, end, label))."""
+    deterministic mention_id: the string 'doc:start:end:label'. Stable,
+    collision-free by construction, and expressible in ANSI SQL — the
+    DuckDB oracle replays the whole linking stage including canonical_id
+    = min(mention_id), which a 64-bit hash id would make impossible."""
     return entities.select(
-        F.xxhash64(
+        F.concat_ws(
+            ":",
             F.col(doc_col).cast("string"),
             F.col("start").cast("string"),
             F.col("end").cast("string"),

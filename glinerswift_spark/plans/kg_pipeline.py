@@ -142,15 +142,23 @@ def attach_embeddings(
     mentions: DataFrame, embeddings: DataFrame, n_vecs: int | None = None
 ) -> DataFrame:
     """Deterministic surface->embedding assignment (FIXTURES.md §5): each
-    distinct lowercased surface maps to embeddings[xxhash64(surface) % N].
-    Same surface => identical vector => cosine 1.0, so linking clusters
-    same-surface mentions across documents; distinct surfaces get
-    pseudo-random vectors. The embeddings side is broadcast (it is the
-    small dimension table)."""
+    distinct lowercased surface maps to
+    embeddings[int(md5(surface)[:8], 16) % N]. Same surface => identical
+    vector => cosine 1.0, so linking clusters same-surface mentions across
+    documents; distinct surfaces get pseudo-random vectors. md5 (not
+    xxhash64) so the DuckDB oracle replays the assignment exactly:
+    CAST(concat('0x', substring(md5(surface), 1, 8)) AS BIGINT) % N.
+    The embeddings side is broadcast (it is the small dimension table)."""
     if n_vecs is None:
         n_vecs = embeddings.count()
     keyed = mentions.withColumn(
-        "vec_id", F.pmod(F.xxhash64(F.lower(F.col("text"))), F.lit(n_vecs))
+        "vec_id",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.lower(F.col("text"))), 1, 8), 16, 10).cast(
+                "long"
+            ),
+            F.lit(n_vecs),
+        ),
     )
     emb = embeddings.select("vec_id", "embedding")
     return keyed.join(F.broadcast(emb), "vec_id", "left").drop("vec_id")
