@@ -31,12 +31,12 @@ def _seeded(shape, seed_key: str) -> np.ndarray:
 
 
 def sigmoid(x):
-    out = np.empty_like(x)
-    pos = x >= 0
-    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
-    ex = np.exp(x[~pos])
-    out[~pos] = ex / (1.0 + ex)
-    return out
+    # branchless stable form: z = exp(-|x|) never overflows;
+    # x >= 0 -> 1/(1+z), x < 0 -> z/(1+z) — elementwise identical to the
+    # two-branch version, no boolean-index allocations (this runs per
+    # LSTM timestep, so per-call overhead is the hot cost)
+    z = np.exp(-np.abs(x))
+    return np.where(x >= 0, 1.0, z) / (1.0 + z)
 
 
 class Linear:
@@ -90,18 +90,24 @@ class BiLSTM:
         w_ih, w_hh, b = weights
         H = self.hidden
         T = xs.shape[0]
-        out = np.zeros((T, H))
+        # input-side projection for ALL timesteps in one GEMM; the
+        # recurrence below only adds the h-dependent part. One sigmoid
+        # call over the whole 4H gate vector per step (i/f/o slices of it
+        # are elementwise identical to per-gate calls; the g quarter's
+        # sigmoid lanes are discarded) — per-call numpy overhead on tiny
+        # per-gate vectors was the single-core bottleneck of this head.
+        pre = xs @ w_ih.T + b  # [T, 4H]
+        w_hh_t = w_hh.T
+        out = np.empty((T, H))
         h = np.zeros(H)
         c = np.zeros(H)
         order = range(T - 1, -1, -1) if reverse else range(T)
         for t in order:
-            gates = b + w_ih @ xs[t] + w_hh @ h
-            i = sigmoid(gates[0:H])
-            f = sigmoid(gates[H : 2 * H])
+            gates = pre[t] + h @ w_hh_t
+            act = sigmoid(gates)
             g = np.tanh(gates[2 * H : 3 * H])
-            o = sigmoid(gates[3 * H : 4 * H])
-            c = f * c + i * g
-            h = o * np.tanh(c)
+            c = act[H : 2 * H] * c + act[0:H] * g
+            h = act[3 * H : 4 * H] * np.tanh(c)
             out[t] = h
         return out
 
@@ -133,10 +139,20 @@ class SpanRepHead:
         if n == 0:
             return out
         h = self.lstm(word_embs)  # [n, 2H]
-        for w in range(max_width):
+        # stack the [h_start ‖ h_end] pairs of EVERY width into one matrix
+        # and run the FFN once — one big GEMM instead of 2*max_width small
+        # ones (per-call GEMM overhead dominated this head's tail)
+        pairs = np.concatenate(
+            [
+                np.concatenate([h[: n - w], h[w:n]], axis=1)
+                for w in range(min(max_width, n))
+            ],
+            axis=0,
+        )  # [sum_w (n-w), 4H]
+        reps = self.ffn(pairs)
+        off = 0
+        for w in range(min(max_width, n)):
             m = n - w
-            if m <= 0:
-                break
-            pair = np.concatenate([h[:m], h[w : w + m]], axis=1)  # [m, 4H]
-            out[:m, w, :] = self.ffn(pair)
+            out[:m, w, :] = reps[off : off + m]
+            off += m
         return out
