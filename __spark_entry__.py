@@ -38,6 +38,8 @@ JACCARD_TAU = 0.5
 COS_TAU = 0.4
 ANN_K = 5
 ANN_QUERY_MOD = 97
+IVF_CENT_MOD = 47
+IVF_N_PROBE = 2
 LSH_MAX_BUCKET = 1000
 RELATION_WINDOW = 100
 
@@ -151,6 +153,18 @@ def _q_ann_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
     return cosine_topk(emb, queries, k=ANN_K)
+
+
+def _q_ann_ivf(spark, sf_dir):
+    # IVF scale path with exact oracle: deterministic centroid sample,
+    # argmax-cosine cell assignment, n_probe nearest cells searched
+    from glinerswift_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return ivf_topk(
+        emb, queries, k=ANN_K, centroid_mod=IVF_CENT_MOD, n_probe=IVF_N_PROBE
+    )
 
 
 def _q_ann_lsh(spark, sf_dir):
@@ -456,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_components": _q_near_dedup_components,
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
         "token_count": _q_token_count,
         "quality_score": _q_quality_score,
@@ -739,6 +754,38 @@ scored AS (
            round(list_sum(list_transform(generate_series(1, len(q.v)),
                                          i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos
     FROM q JOIN __n c ON q.vec_id != c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, cos FROM ranked WHERE rk <= {ANN_K}"""
+
+    sql["ann_ivf"] = f"""WITH {_COS_CTE},
+cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM __n
+          WHERE vec_id % {IVF_CENT_MOD} = 0),
+casg AS (
+    SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+           row_number() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY round(list_sum(list_transform(generate_series(1, len(n.v)),
+                                                      i -> n.v[i] * c.cv[i]))
+                              / (n.nrm * c.cnrm), 6) DESC,
+                        c.cent_id ASC) AS rk
+    FROM __n n CROSS JOIN cents c
+),
+cell AS (SELECT vec_id AS neighbor_id, v, nrm, cent_id AS cell FROM casg WHERE rk = 1),
+probes AS (
+    SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cent_id AS cell FROM casg
+    WHERE rk <= {IVF_N_PROBE} AND vec_id % {ANN_QUERY_MOD} = 0
+),
+scored AS (
+    SELECT p.query_id, e.neighbor_id,
+           round(list_sum(list_transform(generate_series(1, len(p.qv)),
+                                         i -> p.qv[i] * e.v[i])) / (p.qnrm * e.nrm), 6) AS cos
+    FROM probes p JOIN cell e USING (cell)
+    WHERE p.query_id != e.neighbor_id
 ),
 ranked AS (
     SELECT query_id, neighbor_id, cos,

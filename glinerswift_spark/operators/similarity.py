@@ -13,6 +13,19 @@
                    deterministically from md5 seeds (same construction as
                    scoring/backends._hash_vec) and shipped as literal
                    arrays — recall is tuned by (num_tables, num_bits).
+``ivf_topk``       — IVF scale path: a training-free coarse quantizer
+                   (centroids = the corpus vectors whose id % mod == 0,
+                   i.e. a deterministic sample) partitions the corpus
+                   into cells by nearest-centroid; queries probe their
+                   n_probe nearest cells and brute-force only those.
+                   Cell assignment is a scan-side expression over literal
+                   centroid arrays — ZERO shuffle for the corpus pass —
+                   and fully deterministic, so the DuckDB oracle replays
+                   the algorithm exactly (unlike recall-tuned LSH, which
+                   is rows-only checked). At real scale (K in the
+                   thousands) the literal-expression quantizer swaps for
+                   a broadcast centroid matrix inside a pandas UDF; the
+                   cell-equi-join search plan is unchanged.
 """
 
 from __future__ import annotations
@@ -49,6 +62,81 @@ def cosine_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_mod: int = 47,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k (query_id, neighbor_id, rank, cos).
+
+    Centroids: corpus vectors with ``id % centroid_mod == 0`` (training-
+    free deterministic sample), collected to the driver (they are the
+    quantizer "model", tiny by construction). Every vector's cell is the
+    argmax-cosine centroid (tie: centroid id asc); queries probe their
+    ``n_probe`` nearest cells. Cosines are rounded to 6 before comparison
+    so the DuckDB oracle's argmax matches bit-for-bit.
+    """
+    cents = sorted(
+        (
+            (int(r[0]), list(r[1]))
+            for r in emb.where(F.col(id_col) % centroid_mod == 0)
+            .select(id_col, vec_col)
+            .collect()
+        ),
+        key=lambda t: t[0],
+    )
+
+    def scored_cells(vcol):
+        # array<struct<s: cos, n: -cent_id>> — struct comparison gives
+        # (cos desc, cent_id asc) ordering under max/sort desc
+        return F.array(
+            *[
+                F.struct(
+                    F.round(
+                        cosine(vcol, F.array(*[F.lit(float(x)) for x in vec])), 6
+                    ).alias("s"),
+                    F.lit(-cid).cast("long").alias("n"),
+                )
+                for cid, vec in cents
+            ]
+        )
+
+    assigned = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        (F.array_max(scored_cells(F.col(vec_col)))["n"] * F.lit(-1)).alias("cell"),
+    )
+    probe_cells = F.transform(
+        F.slice(F.sort_array(scored_cells(F.col(vec_col)), False), 1, n_probe),
+        lambda s: s["n"] * F.lit(-1),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probe_cells).alias("cell"),
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )

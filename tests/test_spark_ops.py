@@ -88,6 +88,35 @@ def test_lsh_topk_subset_of_bruteforce_space(spark, emb):
     assert all(r.rank <= 3 for r in rows)
 
 
+def test_ivf_topk_invariants(spark, emb):
+    from glinerswift_spark.operators.similarity import ivf_topk
+
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in cosine_topk(emb, queries, k=1000).collect()
+    }
+    got = ivf_topk(emb, queries, k=5, centroid_mod=7, n_probe=2).collect()
+    assert got
+    by_q = {}
+    for r in got:
+        # every IVF hit is a real (query, neighbor) pair with the exact cosine
+        assert exact[(r.query_id, r.neighbor_id)] == r.cos
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos, r.neighbor_id))
+    for rows in by_q.values():
+        rows.sort()
+        # dense ranks, scores non-increasing, no duplicate neighbors
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        assert all(rows[i][1] >= rows[i + 1][1] for i in range(len(rows) - 1))
+        assert len({r[2] for r in rows}) == len(rows)
+    # probing every cell == brute force (n_probe >= n_centroids)
+    full = ivf_topk(emb, queries, k=3, centroid_mod=7, n_probe=10_000).collect()
+    brute = cosine_topk(emb, queries, k=3).collect()
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in full} == {
+        (r.query_id, r.neighbor_id, r.rank) for r in brute
+    }
+
+
 def test_textstats_ops(spark, docs):
     tc = token_count(docs.limit(5)).collect()
     for r in tc:
