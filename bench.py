@@ -85,6 +85,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "simhash_pairs",
         "embedding_neardup",
         "ann_topk",
+        "ann_ivf",
         "token_count",
         "quality_score",
         "doc_fingerprint",

@@ -85,6 +85,15 @@ def ivf_topk(
     ``n_probe`` nearest cells. Cosines are rounded to 6 before comparison
     so the DuckDB oracle's argmax matches bit-for-bit.
     """
+    def _seq_norm(vec: list) -> float:
+        # sequential left-to-right fold, matching BOTH engines' fold order
+        # (Spark F.aggregate, DuckDB list_sum) so the precomputed literal
+        # is bit-identical to what the oracle computes from the same rows
+        s = 0.0
+        for x in vec:
+            s += float(x) * float(x)
+        return s ** 0.5
+
     cents = sorted(
         (
             (int(r[0]), list(r[1]))
@@ -95,34 +104,62 @@ def ivf_topk(
         key=lambda t: t[0],
     )
 
-    def scored_cells(vcol):
+    # ONE nested-array literal per constant (3 py4j calls total) — building
+    # per-centroid F.lit trees costs thousands of driver round trips and
+    # dominated wall time before any row was processed
+    cvecs = F.lit([[float(x) for x in vec] for _, vec in cents])
+    cnorms = F.lit([_seq_norm(vec) for _, vec in cents])
+    cids = F.lit([int(cid) for cid, _ in cents])
+    cent_idx = F.sequence(F.lit(1), F.lit(len(cents)))
+
+    def scored_cells(vcol, norm_col):
         # array<struct<s: cos, n: -cent_id>> — struct comparison gives
-        # (cos desc, cent_id asc) ordering under max/sort desc
-        return F.array(
-            *[
-                F.struct(
-                    F.round(
-                        cosine(vcol, F.array(*[F.lit(float(x)) for x in vec])), 6
-                    ).alias("s"),
-                    F.lit(-cid).cast("long").alias("n"),
-                )
-                for cid, vec in cents
-            ]
+        # (cos desc, cent_id asc) ordering under max/sort desc. The row
+        # norm is computed ONCE (norm_col) and each centroid's norm is a
+        # precomputed literal — the naive form re-folds both per centroid.
+        return F.transform(
+            cent_idx,
+            lambda i: F.struct(
+                F.round(
+                    dot_product(vcol, F.element_at(cvecs, i))
+                    / (norm_col * F.element_at(cnorms, i)),
+                    6,
+                ).alias("s"),
+                (-F.element_at(cids, i)).cast("long").alias("n"),
+            ),
         )
 
-    assigned = emb.select(
+    from glinerswift_spark.functions.hashing import l2_norm
+    from glinerswift_spark.sources.pages import widen_small_scan
+
+    assigned = widen_small_scan(emb, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        (F.array_max(scored_cells(F.col(vec_col)))["n"] * F.lit(-1)).alias("cell"),
-    )
-    probe_cells = F.transform(
-        F.slice(F.sort_array(scored_cells(F.col(vec_col)), False), 1, n_probe),
-        lambda s: s["n"] * F.lit(-1),
+        l2_norm(F.col(vec_col)).alias("__nrm"),
+    ).select(
+        "neighbor_id",
+        "__cv",
+        (F.array_max(scored_cells(F.col("__cv"), F.col("__nrm")))["n"] * F.lit(-1)).alias(
+            "cell"
+        ),
     )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        F.explode(probe_cells).alias("cell"),
+        l2_norm(F.col(vec_col)).alias("__nrm"),
+    ).select(
+        "query_id",
+        "__qv",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.sort_array(scored_cells(F.col("__qv"), F.col("__nrm")), False),
+                    1,
+                    n_probe,
+                ),
+                lambda s: s["n"] * F.lit(-1),
+            )
+        ).alias("cell"),
     )
     cand = (
         F.broadcast(probes)
