@@ -32,7 +32,7 @@ Spark analogue of the reference's compile-once Core ML model reuse
 from __future__ import annotations
 
 import hashlib
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -8,7 +8,7 @@ from glinerswift_spark.operators.classify import (
     stable_softmax,
     top_prediction,
 )
-from glinerswift_spark.schema import ClassificationSpec, FieldSpec, RegexValidator, Schema
+from glinerswift_spark.schema import ClassificationSpec, FieldSpec, RegexValidator
 from glinerswift_spark.scoring.backends import GazetteerSpec
 
 import numpy as np

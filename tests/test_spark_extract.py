@@ -9,7 +9,6 @@ from glinerswift_spark.operators.relations import entities_to_triples
 from glinerswift_spark.plans.kg_pipeline import extract_triples_fused, extract_and_link
 from glinerswift_spark.scoring.backends import (
     FLAGSHIP_LABELS,
-    GazetteerSpec,
     flagship_gazetteer,
     term_score,
 )
