@@ -22,14 +22,18 @@ in ref Scripts/generate_test_fixtures.py:80-106, which uses a stable sort.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass  # noqa: F401
+from typing import NamedTuple
 
 import numpy as np
 
 
-@dataclass(frozen=True)
-class Entity:
-    """ref Models/Entity.swift:4-26 — char offsets into the original text."""
+class Entity(NamedTuple):
+    """ref Models/Entity.swift:4-26 — char offsets into the original text.
+
+    A NamedTuple, not a dataclass: attribute access and field-wise
+    equality/hash are identical, but allocation cost is a plain tuple —
+    millions of these are created per task in the fused extraction path.
+    """
 
     text: str
     label: str
