@@ -1,0 +1,82 @@
+"""Physical-plan regression tests: the scale properties PLANS.md claims,
+pinned in CI.
+
+These assert on the initial executed plan string (pre-AQE), which is
+stable for structural properties: which operators appear, how many
+exchanges exist, and what the parquet scan reads. A change that silently
+introduces a shuffle into the zero-shuffle extraction stage, or widens
+the scan schema past the pruned columns, fails here long before it shows
+up as a 100 TB regression.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry.queries()
+
+
+def test_fused_extraction_zero_shuffle(spark, queries):
+    """documents -> triples is ONE MapInPandas stage over a pruned scan:
+    no Exchange anywhere (the north-metric property — at 10^12 docs any
+    shuffle of entity rows dominates the job)."""
+    plan = plan_of(queries["kg_triples"](spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_entities_scan_pruned(spark, queries):
+    """Column pruning reaches the parquet scan: only (doc_id, text) are
+    read, never lang/source/n_chars."""
+    plan = plan_of(queries["kg_entities"](spark, SF_DIR))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "n_chars" not in plan
+
+
+def test_scan_side_textstats_no_shuffle(spark, queries):
+    """Per-document text statistics are pure scan-side expressions."""
+    for name in ("token_count", "quality_score", "doc_fingerprint"):
+        plan = plan_of(queries[name](spark, SF_DIR))
+        assert "Exchange" not in plan, name
+
+
+def test_ann_topk_corpus_never_shuffled(spark, queries):
+    """Brute-force ANN broadcasts the query side; the corpus is scanned
+    once and ONLY the per-query top-k shuffle exists."""
+    plan = plan_of(queries["ann_topk"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    # exactly one hash-partitioned exchange: the window's (query_id) one
+    assert plan.count("Exchange hashpartitioning") == 1
+    # partial top-k runs map-side before that exchange
+    assert "WindowGroupLimit" in plan
+
+
+def test_ivf_assignment_scan_side(spark, queries):
+    """IVF cell assignment is an expression over literal centroids —
+    the corpus pass has no shuffle beyond the (optional) widening
+    repartition and the final top-k window; the probe join is broadcast
+    at this scale."""
+    plan = plan_of(queries["ann_ivf"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    # no sort-merge join: cell search stays broadcast at small scale;
+    # at cluster scale AQE picks the shuffle join on the cell key
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_dedup_single_aggregate_exchange(spark, queries):
+    """Hash-groupBy dedup: map-side partial aggregation, ONE exchange."""
+    plan = plan_of(queries["exact_dedup"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "HashAggregate" in plan
