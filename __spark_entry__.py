@@ -167,6 +167,36 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_structure_fields(spark, sf_dir):
+    """GLiNER2 structured-extraction surface (ref API/GLiNER2.swift:234-299)
+    through the driver contract: choices-as-labels field extraction, regex
+    validator (P4), dtype projection (P5), count-predictor capping (A4) —
+    all with a gazetteer whose (term, term) labels make every step exactly
+    replayable in the DuckDB oracle."""
+    from glinerswift_spark.operators.classify import extract_structure
+    from glinerswift_spark.schema import FieldSpec, RegexValidator
+    from glinerswift_spark.scoring.backends import GazetteerSpec
+
+    lex = {(t, t): term_score(t) for t in OPERATOR_TERMS + OBJECT_TERMS}
+    fields = [
+        FieldSpec(name="ops", dtype="list", choices=list(OPERATOR_TERMS)),
+        FieldSpec(
+            name="obj",
+            dtype="str",
+            choices=list(OBJECT_TERMS),
+            validators=[RegexValidator("table|row|key", mode="full")],
+        ),
+    ]
+    return extract_structure(
+        _docs(spark, sf_dir),
+        "pipeline",
+        fields,
+        GazetteerSpec.from_dict(lex),
+        threshold=0.5,
+        use_count_predictor=True,
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
     # rows-only check: approximate ANN (bucketed) has no exact SQL twin
     from glinerswift_spark.operators.similarity import lsh_bucketed_topk
@@ -472,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
+        "structure_fields": _q_structure_fields,
         "token_count": _q_token_count,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -761,6 +792,40 @@ ranked AS (
     FROM scored
 )
 SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, cos FROM ranked WHERE rk <= {ANN_K}"""
+
+    all_terms = OPERATOR_TERMS + OBJECT_TERMS
+    lex2_vals = ",\n    ".join(f"('{t}')" for t in all_terms)
+    ops_in = ", ".join(f"'{t}'" for t in OPERATOR_TERMS)
+    terms_arr = "[" + ", ".join(f"'{t}'" for t in all_terms) + "]"
+    sql["structure_fields"] = f"""WITH
+lex2(term) AS (VALUES
+    {lex2_vals}),
+__words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+__tok AS (
+    SELECT doc_id, i, w[i] AS term
+    FROM __words, unnest(generate_series(1, len(w))) AS t(i)
+),
+ent2 AS (SELECT tok.doc_id, tok.term, tok.i FROM __tok tok JOIN lex2 USING (term)),
+cnt AS (
+    SELECT doc_id,
+           least(len(list_filter({terms_arr},
+                 s -> list_contains(list_distinct(string_split(lower(text), ' ')), s))),
+                 19) AS pc
+    FROM documents
+),
+ops AS (
+    SELECT e.doc_id, 'ops' AS field,
+           array_to_string((list(e.term ORDER BY e.i))[1:c.pc], '|') AS "value"
+    FROM ent2 e JOIN cnt c USING (doc_id)
+    WHERE e.term IN ({ops_in})
+    GROUP BY e.doc_id, e.term, c.pc
+),
+obj AS (
+    SELECT DISTINCT doc_id, 'obj' AS field, term AS "value"
+    FROM ent2 WHERE regexp_matches(term, '^(?:(?i)table|row|key)$')
+)
+SELECT doc_id, 'pipeline' AS structure, field, "value"
+FROM (SELECT * FROM ops UNION ALL SELECT * FROM obj)"""
 
     sql["ann_ivf"] = f"""WITH {_COS_CTE},
 cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM __n
