@@ -40,6 +40,7 @@ ANN_K = 5
 ANN_QUERY_MOD = 97
 IVF_CENT_MOD = 47
 IVF_N_PROBE = 2
+CHUNKED_MAX_WORDS = 40  # = Configuration(max_word_count=48).chunk_max_words
 LSH_MAX_BUCKET = 1000
 RELATION_WINDOW = 100
 
@@ -164,6 +165,30 @@ def _q_ann_ivf(spark, sf_dir):
     queries = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
     return ivf_topk(
         emb, queries, k=ANN_K, centroid_mod=IVF_CENT_MOD, n_probe=IVF_N_PROBE
+    )
+
+
+def _q_kg_entities_chunked(spark, sf_dir):
+    """Sliding-window chunking + cross-chunk merge (W4 + J2) on real data:
+    chunk_max_words is forced to 40 so most documents split into
+    overlapping chunks. For single-word gazetteer entities the merge
+    semantics (same label + same lowercased text dedup, highest score
+    first then enumeration order) reduce to: one row per (doc, label,
+    entity) keeping the EARLIEST occurrence — exactly replayable in SQL.
+    Chunker tiling (no word lost, ref TextChunker.swift:35-106) is what
+    makes the row sets equal; a chunking bug shows up as missing or
+    duplicated entities here."""
+    from glinerswift_spark.config import Configuration
+    from glinerswift_spark.operators.extract import extract_entities
+
+    cfg = Configuration(max_sequence_length=48, stride_length=24, max_word_count=48)
+    ents = extract_entities(
+        _docs(spark, sf_dir), FLAGSHIP_LABELS, flagship_gazetteer(),
+        threshold=THRESHOLD, config=cfg,
+    )
+    return ents.select(
+        "doc_id", "label", "entity",
+        F.round("score", 4).alias("score"), "start", "end",
     )
 
 
@@ -503,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
         "structure_fields": _q_structure_fields,
+        "kg_entities_chunked": _q_kg_entities_chunked,
         "token_count": _q_token_count,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -680,6 +706,24 @@ def oracle_sql() -> dict[str, str]:
 SELECT doc_id, label, entity, score,
        ent_start AS "start", ent_end AS "end"
 FROM ent"""
+
+    # chunked docs (> chunk_max_words) merge-dedup same-label same-text
+    # entities to the earliest occurrence; short docs keep every repeat
+    # (faithful-to-reference ChunkProcessor quirk, SKILL.md gotchas)
+    sql["kg_entities_chunked"] = f"""WITH {_ENT_CTE},
+wc AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+merged AS (
+    SELECT e.doc_id, e.label, e.entity, e.score, min(e.ent_start) AS s
+    FROM ent e JOIN wc ON e.doc_id = wc.doc_id AND wc.n > {CHUNKED_MAX_WORDS}
+    GROUP BY e.doc_id, e.label, e.entity, e.score
+),
+short AS (
+    SELECT e.doc_id, e.label, e.entity, e.score, e.ent_start AS s
+    FROM ent e JOIN wc ON e.doc_id = wc.doc_id AND wc.n <= {CHUNKED_MAX_WORDS}
+)
+SELECT doc_id, label, entity, round(score, 4) AS score,
+       s AS "start", s + CAST(length(entity) AS INT) AS "end"
+FROM (SELECT * FROM merged UNION ALL SELECT * FROM short)"""
 
     sql["kg_triples"] = f"""WITH {_TRIPLE_CTE}
 SELECT subj, pred, obj, doc_id, score FROM trip"""
