@@ -192,6 +192,28 @@ def _q_kg_entities_chunked(spark, sf_dir):
     )
 
 
+def _q_pages_entities(spark, sf_dir):
+    """The north-rule input shape end-to-end: documents wrapped as
+    pages(url, warc_ts, html, text, lang), the text column DROPPED and
+    re-derived from the html bytes (P9, byte-identical per url —
+    BASELINE input_hint), then entity extraction keyed by url. The
+    oracle extracts from the ORIGINAL text — any html->text corruption
+    shifts offsets and fails the value comparison for the whole corpus,
+    not just the pinned pytest goldens."""
+    from glinerswift_spark.operators.extract import extract_entities
+    from glinerswift_spark.sources.pages import documents_as_pages, extract_pages_text
+
+    pages = extract_pages_text(documents_as_pages(_docs(spark, sf_dir)).drop("text"))
+    ents = extract_entities(
+        pages, FLAGSHIP_LABELS, flagship_gazetteer(),
+        text_col="text", id_cols=["url"], threshold=THRESHOLD,
+    )
+    return ents.select(
+        "url", "label", "entity",
+        F.round("score", 4).alias("score"), "start", "end",
+    )
+
+
 def _q_structure_fields(spark, sf_dir):
     """GLiNER2 structured-extraction surface (ref API/GLiNER2.swift:234-299)
     through the driver contract: choices-as-labels field extraction, regex
@@ -529,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "structure_fields": _q_structure_fields,
         "kg_entities_chunked": _q_kg_entities_chunked,
+        "pages_entities": _q_pages_entities,
         "token_count": _q_token_count,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -724,6 +747,12 @@ short AS (
 SELECT doc_id, label, entity, round(score, 4) AS score,
        s AS "start", s + CAST(length(entity) AS INT) AS "end"
 FROM (SELECT * FROM merged UNION ALL SELECT * FROM short)"""
+
+    sql["pages_entities"] = f"""WITH {_ENT_CTE}
+SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       label, entity, round(score, 4) AS score,
+       ent_start AS "start", ent_end AS "end"
+FROM ent"""
 
     sql["kg_triples"] = f"""WITH {_TRIPLE_CTE}
 SELECT subj, pred, obj, doc_id, score FROM trip"""
