@@ -192,6 +192,27 @@ def _q_kg_entities_chunked(spark, sf_dir):
     )
 
 
+def _q_classify_gazetteer(spark, sf_dir):
+    """GLiNER2 classification task (P3/W2/A8, ref GLiNERModel.swift:207-287)
+    through the driver contract: multi-label sigmoid scoring with the
+    gazetteer backend. Document label logit = max over span logits, so the
+    probability is sigmoid(logit(max term score)) == that score (to 1 ulp)
+    — exactly replayable in SQL; absent labels sit at sigmoid(-30) ~ 0 and
+    surface only via the topPrediction rule (argmax, first label wins
+    ties, ref GLiNER2.swift:330-332)."""
+    from glinerswift_spark.operators.classify import classify_documents
+    from glinerswift_spark.schema import ClassificationSpec
+
+    spec = ClassificationSpec(
+        task="domain", labels=list(FLAGSHIP_LABELS), multi_label=True,
+        cls_threshold=0.5,
+    )
+    out = classify_documents(_docs(spark, sf_dir), spec, flagship_gazetteer())
+    return out.select(
+        "doc_id", "task", "label", F.round("score", 6).alias("score"), "is_top"
+    )
+
+
 def _q_pages_entities(spark, sf_dir):
     """The north-rule input shape end-to-end: documents wrapped as
     pages(url, warc_ts, html, text, lang), the text column DROPPED and
@@ -552,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structure_fields": _q_structure_fields,
         "kg_entities_chunked": _q_kg_entities_chunked,
         "pages_entities": _q_pages_entities,
+        "classify_gazetteer": _q_classify_gazetteer,
         "token_count": _q_token_count,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -747,6 +769,27 @@ short AS (
 SELECT doc_id, label, entity, round(score, 4) AS score,
        s AS "start", s + CAST(length(entity) AS INT) AS "end"
 FROM (SELECT * FROM merged UNION ALL SELECT * FROM short)"""
+
+    sql["classify_gazetteer"] = f"""WITH {_ENT_CTE},
+mx AS (
+    SELECT doc_id,
+           max(CASE WHEN label = 'operator' THEN score END) AS op_m,
+           max(CASE WHEN label = 'object' THEN score END) AS ob_m
+    FROM ent GROUP BY doc_id
+),
+base AS (
+    SELECT d.doc_id,
+           coalesce(mx.op_m, 1 / (1 + exp(30.0))) AS op_s,
+           coalesce(mx.ob_m, 1 / (1 + exp(30.0))) AS ob_s
+    FROM documents d LEFT JOIN mx USING (doc_id)
+)
+SELECT doc_id, 'domain' AS task, 'operator' AS label,
+       round(op_s, 6) AS score, (op_s >= ob_s) AS is_top
+FROM base WHERE op_s >= 0.5 OR op_s >= ob_s
+UNION ALL
+SELECT doc_id, 'domain' AS task, 'object' AS label,
+       round(ob_s, 6) AS score, (ob_s > op_s) AS is_top
+FROM base WHERE ob_s >= 0.5 OR ob_s > op_s"""
 
     sql["pages_entities"] = f"""WITH {_ENT_CTE}
 SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
