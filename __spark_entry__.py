@@ -213,6 +213,24 @@ def _q_classify_gazetteer(spark, sf_dir):
     )
 
 
+def _q_classify_softmax(spark, sf_dir):
+    """Single-label classification: max-subtracted softmax over the
+    per-label document logits (A8, ref GLiNERModel.swift:293-302). The
+    oracle recomputes logit = ln(s/(1-s)) and the stable softmax in SQL;
+    scores rounded to 4 keep a wide margin over cross-libm exp/ln ulps."""
+    from glinerswift_spark.operators.classify import classify_documents
+    from glinerswift_spark.schema import ClassificationSpec
+
+    spec = ClassificationSpec(
+        task="domain1", labels=list(FLAGSHIP_LABELS), multi_label=False,
+        cls_threshold=0.5,
+    )
+    out = classify_documents(_docs(spark, sf_dir), spec, flagship_gazetteer())
+    return out.select(
+        "doc_id", "task", "label", F.round("score", 4).alias("score"), "is_top"
+    )
+
+
 def _q_pages_entities(spark, sf_dir):
     """The north-rule input shape end-to-end: documents wrapped as
     pages(url, warc_ts, html, text, lang), the text column DROPPED and
@@ -574,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities_chunked": _q_kg_entities_chunked,
         "pages_entities": _q_pages_entities,
         "classify_gazetteer": _q_classify_gazetteer,
+        "classify_softmax": _q_classify_softmax,
         "token_count": _q_token_count,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -790,6 +809,34 @@ UNION ALL
 SELECT doc_id, 'domain' AS task, 'object' AS label,
        round(ob_s, 6) AS score, (ob_s > op_s) AS is_top
 FROM base WHERE ob_s >= 0.5 OR ob_s > op_s"""
+
+    sql["classify_softmax"] = f"""WITH {_ENT_CTE},
+mx AS (
+    SELECT doc_id,
+           max(CASE WHEN label = 'operator' THEN score END) AS op_m,
+           max(CASE WHEN label = 'object' THEN score END) AS ob_m
+    FROM ent GROUP BY doc_id
+),
+lg AS (
+    SELECT d.doc_id,
+           CASE WHEN mx.op_m IS NULL THEN -30.0 ELSE ln(mx.op_m / (1 - mx.op_m)) END AS lo,
+           CASE WHEN mx.ob_m IS NULL THEN -30.0 ELSE ln(mx.ob_m / (1 - mx.ob_m)) END AS lb
+    FROM documents d LEFT JOIN mx USING (doc_id)
+),
+sm AS (
+    SELECT doc_id,
+           exp(lo - greatest(lo, lb)) AS zo,
+           exp(lb - greatest(lo, lb)) AS zb
+    FROM lg
+),
+pr AS (SELECT doc_id, zo / (zo + zb) AS po, zb / (zo + zb) AS pb FROM sm)
+SELECT doc_id, 'domain1' AS task, 'operator' AS label,
+       round(po, 4) AS score, (po >= pb) AS is_top
+FROM pr WHERE po >= 0.5 OR po >= pb
+UNION ALL
+SELECT doc_id, 'domain1' AS task, 'object' AS label,
+       round(pb, 4) AS score, (pb > po) AS is_top
+FROM pr WHERE pb >= 0.5 OR pb > po"""
 
     sql["pages_entities"] = f"""WITH {_ENT_CTE}
 SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
