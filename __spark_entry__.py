@@ -401,12 +401,17 @@ LABEL_THRESHOLDS = {"operator": 0.645}
 
 def _q_kg_entities_thresholded(spark, sf_dir):
     """Per-label threshold override (P2/J7): operators need score >= 0.645,
-    objects keep the global 0.5 (ref API/GLiNER2.swift:96-103)."""
-    from glinerswift_spark.operators.thresholds import apply_label_thresholds
+    objects keep the global 0.5 (ref API/GLiNER2.swift:96-103). Uses the
+    broadcast-JOIN variant (J7) so the label-config lookup join is
+    oracle-checked; the literal-map variant is pytest-pinned to agree
+    (tests/test_spark_ops map/join agreement)."""
+    from glinerswift_spark.operators.thresholds import apply_label_thresholds_join
 
-    return apply_label_thresholds(
-        _q_kg_entities(spark, sf_dir), LABEL_THRESHOLDS, THRESHOLD
+    cfg = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(LABEL_THRESHOLDS.items())],
+        "label string, threshold double",
     )
+    return apply_label_thresholds_join(_q_kg_entities(spark, sf_dir), cfg, THRESHOLD)
 
 
 def _events(spark, sf_dir):
