@@ -36,6 +36,13 @@ def _status_path(root: str) -> str:
 
 def read_status(spark: SparkSession, root: str, stage: str) -> DataFrame:
     path = _status_path(root)
+    # local-path existence check first: letting spark.read probe a missing
+    # path logs a full WARN stack trace on every fresh run (FileStreamSink
+    # metadata lookup) before the except fires. Remote URIs (s3://,
+    # hdfs://) skip the check — os.path can't see them — and rely on the
+    # try/except below, exactly as before.
+    if "://" not in path and not os.path.exists(path):
+        return spark.createDataFrame([], STATUS_SCHEMA)
     try:
         df = spark.read.parquet(path)
     except Exception:
