@@ -85,8 +85,16 @@ def extract_entities(
                     rows["end"].append(e.end)
             yield pd.DataFrame(rows, columns=out_cols)
 
-    # explicit narrow projection => column pruning reaches the scan
-    return df.select(*id_cols, text_col).mapInPandas(run, schema=out_schema)
+    from glinerswift_spark.sources.pages import widen_small_scan
+
+    # explicit narrow projection => column pruning reaches the scan;
+    # widen_small_scan parallelizes the inference pass when the scan is
+    # narrower than core count (single-row-group test parquet) — a no-op
+    # at real scale, and never a shuffle of the (much larger) output
+    return (
+        widen_small_scan(df.select(*id_cols, text_col), id_cols[0])
+        .mapInPandas(run, schema=out_schema)
+    )
 
 
 def extract_entities_per_request(

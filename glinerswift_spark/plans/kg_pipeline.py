@@ -111,7 +111,14 @@ def extract_triples_fused(
                 }
             )
 
-    return df.select(doc_col, text_col).mapInPandas(run, schema=out_schema)
+    from glinerswift_spark.sources.pages import widen_small_scan
+
+    # widen when the scan is narrower than core count (no-op at scale);
+    # the triple OUTPUT is never shuffled — zero exchanges above the UDF
+    return (
+        widen_small_scan(df.select(doc_col, text_col), doc_col)
+        .mapInPandas(run, schema=out_schema)
+    )
 
 
 def extract_and_link(
