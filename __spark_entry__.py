@@ -192,6 +192,35 @@ def _q_kg_entities_chunked(spark, sf_dir):
     )
 
 
+def _q_per_request_entities(spark, sf_dir):
+    """Per-request extraction (ref benchmark-fixture shape {id, text,
+    labels, threshold}, Scripts/test_fixtures.jsonl): EACH ROW carries its
+    own label list and threshold. Even doc_ids ask for both labels at the
+    global threshold; odd doc_ids ask only for 'operator' at 0.645 (which
+    admits only scores >= 0.645). The oracle replays the per-row label-set
+    and threshold filters relationally."""
+    from glinerswift_spark.operators.extract import extract_entities_per_request
+
+    docs = _docs(spark, sf_dir)
+    reqs = docs.select(
+        F.col("doc_id").alias("id"),
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, F.array(F.lit("operator"), F.lit("object")))
+        .otherwise(F.array(F.lit("operator")))
+        .alias("labels"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(float(THRESHOLD)))
+        .otherwise(F.lit(0.645))
+        .alias("threshold"),
+    )
+    ents = extract_entities_per_request(
+        reqs, flagship_gazetteer(), id_cols=["id"]
+    )
+    return ents.select(
+        "id", "label", "entity",
+        F.round("score", 4).alias("score"), "start", "end",
+    )
+
+
 def _q_classify_gazetteer(spark, sf_dir):
     """GLiNER2 classification task (P3/W2/A8, ref GLiNERModel.swift:207-287)
     through the driver contract: multi-label sigmoid scoring with the
@@ -598,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_entities": _q_pages_entities,
         "classify_gazetteer": _q_classify_gazetteer,
         "classify_softmax": _q_classify_softmax,
+        "per_request_entities": _q_per_request_entities,
         "token_count": _q_token_count,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -793,6 +823,13 @@ short AS (
 SELECT doc_id, label, entity, round(score, 4) AS score,
        s AS "start", s + CAST(length(entity) AS INT) AS "end"
 FROM (SELECT * FROM merged UNION ALL SELECT * FROM short)"""
+
+    sql["per_request_entities"] = f"""WITH {_ENT_CTE}
+SELECT doc_id AS id, label, entity, round(score, 4) AS score,
+       ent_start AS "start", ent_end AS "end"
+FROM ent
+WHERE (doc_id % 2 = 0 AND score >= {THRESHOLD})
+   OR (doc_id % 2 = 1 AND label = 'operator' AND score >= 0.645)"""
 
     sql["classify_gazetteer"] = f"""WITH {_ENT_CTE},
 mx AS (
