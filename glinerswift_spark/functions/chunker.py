@@ -18,9 +18,10 @@ Entity offsets from a chunk are shifted by ``start`` at merge time
 
 from __future__ import annotations
 
+from bisect import bisect_left
 from dataclasses import dataclass
 
-from glinerswift_spark.functions.text import count_words
+from glinerswift_spark.functions.text import WORD_RE, count_words
 
 
 @dataclass(frozen=True)
@@ -87,20 +88,41 @@ def chunk_text(
             continue
 
         wc = count_words(text[lo:hi])
-        while wc > max_words and (hi - lo) > 1:
-            shrink_rel = _last_ws(text[lo:hi])
-            if shrink_rel != -1:
-                if lo + shrink_rel <= lo:
-                    break
-                hi = lo + shrink_rel
+        if wc > max_words and (hi - lo) > 1:
+            # Closed-form shrink: the one-word-at-a-time loop (cut at the
+            # last whitespace, trim, recount — O(chunk²) and the measured
+            # hot spot on long documents) converges to the LARGEST
+            # whitespace position at or before the start of the first
+            # over-limit token: every cut lands on whitespace, each
+            # removes the text after it, and the loop stops the first
+            # time the count is within budget. Jump there directly; the
+            # count after a whitespace cut is a bisect over token starts
+            # (end-truncation at whitespace never splits or merges
+            # earlier tokens).
+            starts = [m.start() for m in WORD_RE.finditer(text, lo, hi)]
+            cut = starts[max_words]
+            while cut > lo and not text[cut - 1].isspace():
+                cut -= 1
+            if cut > lo:  # text[cut-1] is whitespace; _trim drops it too
+                lo, hi = _trim(text, lo, cut)
+                wc = bisect_left(starts, hi) if lo < hi else 0
             else:
-                if hi - 1 <= lo:
-                    break
-                hi -= 1
-            lo, hi = _trim(text, lo, hi)
-            if lo >= hi:
-                break
-            wc = count_words(text[lo:hi])
+                # no whitespace before the limit: original char-wise
+                # fallback (pathological unspaced text)
+                while wc > max_words and (hi - lo) > 1:
+                    shrink_rel = _last_ws(text[lo:hi])
+                    if shrink_rel != -1:
+                        if lo + shrink_rel <= lo:
+                            break
+                        hi = lo + shrink_rel
+                    else:
+                        if hi - 1 <= lo:
+                            break
+                        hi -= 1
+                    lo, hi = _trim(text, lo, hi)
+                    if lo >= hi:
+                        break
+                    wc = count_words(text[lo:hi])
 
         if lo >= hi:
             start = cand_end
