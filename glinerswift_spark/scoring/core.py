@@ -253,17 +253,30 @@ def merge_chunk_entities(per_chunk: list[list[Entity]]) -> list[Entity]:
         return per_chunk[0]
     flat = [e for chunk in per_chunk for e in chunk]
     flat.sort(key=lambda e: -e.score)  # stable
+    # Same greedy semantics as the naive scan (dup iff a selected
+    # same-label entity shares lowercased text OR overlaps), but O(log k)
+    # per candidate: equal-text is a set hit, and because every accepted
+    # overlapper would itself have been rejected, the selected intervals
+    # per label are pairwise DISJOINT — one bisect neighbor check decides
+    # overlap. The naive loop is O(n*k); a long page with thousands of
+    # distinct entities made it the next quadratic hot spot after the
+    # chunker.
+    from bisect import bisect_left, insort
+
     selected: list[Entity] = []
+    seen_text: set = set()
+    intervals: dict = {}  # label -> sorted list of (start, end)
     for ent in flat:
-        dup = False
-        for ex in selected:
-            if ex.label != ent.label:
-                continue
-            if ex.text.lower() == ent.text.lower() or (
-                ex.start < ent.end and ent.start < ex.end
-            ):
-                dup = True
-                break
-        if not dup:
-            selected.append(ent)
+        if (ent.label, ent.text.lower()) in seen_text:
+            continue
+        iv = intervals.get(ent.label)
+        if iv:
+            i = bisect_left(iv, (ent.end, ent.end))  # first start >= end
+            if i > 0 and iv[i - 1][1] > ent.start:
+                continue  # previous interval overlaps
+        else:
+            iv = intervals[ent.label] = []
+        selected.append(ent)
+        seen_text.add((ent.label, ent.text.lower()))
+        insort(iv, (ent.start, ent.end))
     return selected
