@@ -178,18 +178,37 @@ def greedy_select_candidates(
     """Greedy flat NMS over (start_word, end_word_incl, label_idx, prob)
     candidates that are ALREADY thresholded and in enumeration order.
     Shared by the dense and sparse decode paths — one implementation of
-    the pinned tie-break total order (ref SpanDecoder.swift:71-96)."""
+    the pinned tie-break total order (ref SpanDecoder.swift:71-96).
+
+    Accepted spans are pairwise non-overlapping (the overlap test rejects
+    everything else, and equal spans overlap), so for large candidate
+    sets one bisect neighbor check replaces the scan over all accepted
+    spans; small sets keep the cheaper naive loop. Both orders of checks
+    produce identical output (fuzz-pinned in tests)."""
     candidates = sorted(candidates, key=lambda c: -c[3])  # stable
     chosen: list[tuple[int, int, int, float]] = []
-    for cand in candidates:
-        s, e, _li, _score = cand
-        ok = True
-        for cs, ce, _, _ in chosen:
-            if (s == cs and e == ce) or not (s > ce or cs > e):
-                ok = False
-                break
-        if ok:
+    if len(candidates) <= 128:
+        for cand in candidates:
+            s, e, _li, _score = cand
+            ok = True
+            for cs, ce, _, _ in chosen:
+                if (s == cs and e == ce) or not (s > ce or cs > e):
+                    ok = False
+                    break
+            if ok:
+                chosen.append(cand)
+    else:
+        from bisect import bisect_left, insort
+
+        iv: list[tuple[int, int]] = []  # accepted (start, end_incl), disjoint
+        for cand in candidates:
+            s, e, _li, _score = cand
+            if iv:
+                i = bisect_left(iv, (e + 1, -1))  # iv[:i] all start <= e
+                if i > 0 and iv[i - 1][1] >= s:
+                    continue  # overlaps the accepted neighbor
             chosen.append(cand)
+            insort(iv, (s, e))
     chosen.sort(key=lambda c: (c[0], -c[3]))  # ref SpanDecoder.swift:80-85
     return chosen
 
