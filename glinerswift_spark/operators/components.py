@@ -38,10 +38,12 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # seed with min(self, min neighbor) — identical to one hash-min
+    # propagation round over the identity labelling, so convergence needs
+    # one fewer (shuffle + checkpoint + convergence-check) iteration
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.min("a"), F.min("b")).alias("component"))
         .localCheckpoint(eager=True)
     )
 
