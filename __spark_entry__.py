@@ -38,7 +38,7 @@ JACCARD_TAU = 0.5
 COS_TAU = 0.4
 ANN_K = 5
 ANN_QUERY_MOD = 97
-IVF_CENT_MOD = 47
+IVF_K = 64  # fixed centroid count — O(K) quantizer regardless of corpus size
 IVF_N_PROBE = 2
 CHUNKED_MAX_WORDS = 40  # = Configuration(max_word_count=48).chunk_max_words
 LSH_MAX_BUCKET = 1000
@@ -157,14 +157,16 @@ def _q_ann_topk(spark, sf_dir):
 
 
 def _q_ann_ivf(spark, sf_dir):
-    # IVF scale path with exact oracle: deterministic centroid sample,
-    # argmax-cosine cell assignment, n_probe nearest cells searched
+    # IVF scale path with exact oracle: fixed-K centroid sample (first K
+    # by md5(vec_id) — never collected to the driver, broadcast as a
+    # one-row array), argmax-cosine cell assignment, n_probe nearest
+    # cells searched
     from glinerswift_spark.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
     return ivf_topk(
-        emb, queries, k=ANN_K, centroid_mod=IVF_CENT_MOD, n_probe=IVF_N_PROBE
+        emb, queries, k=ANN_K, num_centroids=IVF_K, n_probe=IVF_N_PROBE
     )
 
 
@@ -1034,7 +1036,7 @@ FROM (SELECT * FROM ops UNION ALL SELECT * FROM obj)"""
 
     sql["ann_ivf"] = f"""WITH {_COS_CTE},
 cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM __n
-          WHERE vec_id % {IVF_CENT_MOD} = 0),
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_K}),
 casg AS (
     SELECT n.vec_id, n.v, n.nrm, c.cent_id,
            row_number() OVER (
@@ -1141,11 +1143,15 @@ WITH r AS (
 )
 SELECT lang, doc_id, n_chars, CAST(rk AS INT) AS rk FROM r WHERE rk <= 3"""
 
+    # NOTE: every integer sum below is CAST(... AS BIGINT): DuckDB's sum()
+    # over integers returns HUGEINT (int128), which survives fetchall() as a
+    # Python int but becomes decimal128/float under the driver's pandas/arrow
+    # canonicalization -> value-hash mismatch (round-1 failure class).
     sql["bench_stats_lang"] = """
 SELECT lang, count(*) AS n_docs,
        round(avg(n_chars), 4) AS avg_chars,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-       sum(n_chars) AS sum_chars
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang"""
 
     sql["kg_entities_thresholded"] = f"""WITH {_ENT_CTE}
@@ -1196,14 +1202,15 @@ s AS (
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
     FROM o
 )
-SELECT user_id, session_idx, count(*) AS n_events,
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
        round(sum("value"), 4) AS sum_value
 FROM s GROUP BY 1, 2"""
 
     sql["events_json_k"] = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
        CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
 FROM events GROUP BY 1"""
@@ -1217,10 +1224,12 @@ FROM documents GROUP BY lang"""
 
     sql["tpch_q1"] = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_price_e4,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_base_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS sum_disc_price_e4,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1228,8 +1237,9 @@ GROUP BY 1, 2"""
 
     sql["tpch_q3"] = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_e4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1242,8 +1252,9 @@ LIMIT 10"""
 
     sql["tpch_q5ish"] = """
 SELECT r_name, n_name,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_e4,
        count(*) AS n_lineitems
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey

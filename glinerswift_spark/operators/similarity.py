@@ -14,18 +14,21 @@
                    scoring/backends._hash_vec) and shipped as literal
                    arrays — recall is tuned by (num_tables, num_bits).
 ``ivf_topk``       — IVF scale path: a training-free coarse quantizer
-                   (centroids = the corpus vectors whose id % mod == 0,
-                   i.e. a deterministic sample) partitions the corpus
-                   into cells by nearest-centroid; queries probe their
-                   n_probe nearest cells and brute-force only those.
-                   Cell assignment is a scan-side expression over literal
-                   centroid arrays — ZERO shuffle for the corpus pass —
-                   and fully deterministic, so the DuckDB oracle replays
-                   the algorithm exactly (unlike recall-tuned LSH, which
-                   is rows-only checked). At real scale (K in the
-                   thousands) the literal-expression quantizer swaps for
-                   a broadcast centroid matrix inside a pandas UDF; the
-                   cell-equi-join search plan is unchanged.
+                   (centroids = the FIRST ``num_centroids`` corpus
+                   vectors ordered by md5(vec_id) — a fixed-size,
+                   order-free pseudo-random sample) partitions the
+                   corpus into cells by nearest-centroid; queries probe
+                   their n_probe nearest cells and brute-force only
+                   those. The centroid set never touches the driver: it
+                   is packed into a single-row array via collect_list
+                   and broadcast-cross-joined onto the corpus scan, so
+                   cell assignment stays a scan-side array expression —
+                   ZERO shuffle and O(K) broadcast bytes for the corpus
+                   pass regardless of corpus size (K=4096 x dim 64 is
+                   ~2 MB). Fully deterministic: the DuckDB oracle
+                   replays centroid selection (ORDER BY md5 LIMIT K)
+                   and argmax assignment exactly (unlike recall-tuned
+                   LSH, which is rows-only checked).
 """
 
 from __future__ import annotations
@@ -71,95 +74,97 @@ def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    centroid_mod: int = 47,
+    num_centroids: int = 64,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF approximate top-k (query_id, neighbor_id, rank, cos).
 
-    Centroids: corpus vectors with ``id % centroid_mod == 0`` (training-
-    free deterministic sample), collected to the driver (they are the
-    quantizer "model", tiny by construction). Every vector's cell is the
-    argmax-cosine centroid (tie: centroid id asc); queries probe their
-    ``n_probe`` nearest cells. Cosines are rounded to 6 before comparison
-    so the DuckDB oracle's argmax matches bit-for-bit.
+    Centroids: the first ``num_centroids`` corpus vectors ordered by
+    ``md5(cast(id as string))`` (id asc tie-break) — a fixed-K,
+    training-free pseudo-random sample that is O(K) regardless of corpus
+    size (Spark plans it as TakeOrdered: per-partition top-K + a K-row
+    merge; nothing is collected to the driver here — the K rows flow
+    into a one-row array via collect_list and are BROADCAST onto the
+    corpus scan). Every vector's cell is the argmax-cosine centroid
+    (tie: centroid id asc); queries probe their ``n_probe`` nearest
+    cells. Cosines use the same sequential-fold arithmetic as the
+    DuckDB oracle (F.aggregate == list_sum fold order) and are rounded
+    to 6 before comparison so the oracle's argmax matches bit-for-bit.
     """
-    def _seq_norm(vec: list) -> float:
-        # sequential left-to-right fold, matching BOTH engines' fold order
-        # (Spark F.aggregate, DuckDB list_sum) so the precomputed literal
-        # is bit-identical to what the oracle computes from the same rows
-        s = 0.0
-        for x in vec:
-            s += float(x) * float(x)
-        return s ** 0.5
+    from glinerswift_spark.functions.hashing import l2_norm
+    from glinerswift_spark.sources.pages import widen_small_scan
 
-    cents = sorted(
-        (
-            (int(r[0]), list(r[1]))
-            for r in emb.where(F.col(id_col) % centroid_mod == 0)
-            .select(id_col, vec_col)
-            .collect()
-        ),
-        key=lambda t: t[0],
+    cents = (
+        emb.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
+        .orderBy(F.md5(F.col("cent_id").cast("string")), F.col("cent_id"))
+        .limit(num_centroids)
+        .select("cent_id", "cv", l2_norm(F.col("cv")).alias("cnrm"))
     )
-
-    # ONE nested-array literal per constant (3 py4j calls total) — building
-    # per-centroid F.lit trees costs thousands of driver round trips and
-    # dominated wall time before any row was processed
-    cvecs = F.lit([[float(x) for x in vec] for _, vec in cents])
-    cnorms = F.lit([_seq_norm(vec) for _, vec in cents])
-    cids = F.lit([int(cid) for cid, _ in cents])
-    cent_idx = F.sequence(F.lit(1), F.lit(len(cents)))
+    # one row: array<struct<cent_id, cv, cnrm>> sorted by cent_id asc —
+    # the entire quantizer "model" as a broadcastable value
+    cent_row = cents.agg(
+        F.sort_array(
+            F.collect_list(F.struct("cent_id", "cv", "cnrm"))
+        ).alias("__cents")
+    )
 
     def scored_cells(vcol, norm_col):
         # array<struct<s: cos, n: -cent_id>> — struct comparison gives
         # (cos desc, cent_id asc) ordering under max/sort desc. The row
-        # norm is computed ONCE (norm_col) and each centroid's norm is a
-        # precomputed literal — the naive form re-folds both per centroid.
+        # norm is computed ONCE (norm_col); centroid norms ride in the
+        # broadcast structs.
         return F.transform(
-            cent_idx,
-            lambda i: F.struct(
+            F.col("__cents"),
+            lambda c: F.struct(
                 F.round(
-                    dot_product(vcol, F.element_at(cvecs, i))
-                    / (norm_col * F.element_at(cnorms, i)),
-                    6,
+                    dot_product(vcol, c["cv"]) / (norm_col * c["cnrm"]), 6
                 ).alias("s"),
-                (-F.element_at(cids, i)).cast("long").alias("n"),
+                (-c["cent_id"]).cast("long").alias("n"),
             ),
         )
 
-    from glinerswift_spark.functions.hashing import l2_norm
-    from glinerswift_spark.sources.pages import widen_small_scan
-
-    assigned = widen_small_scan(emb, id_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        l2_norm(F.col(vec_col)).alias("__nrm"),
-    ).select(
-        "neighbor_id",
-        "__cv",
-        (F.array_max(scored_cells(F.col("__cv"), F.col("__nrm")))["n"] * F.lit(-1)).alias(
-            "cell"
-        ),
+    assigned = (
+        widen_small_scan(emb, id_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            l2_norm(F.col(vec_col)).alias("__nrm"),
+        )
+        .crossJoin(F.broadcast(cent_row))
+        .select(
+            "neighbor_id",
+            "__cv",
+            (
+                F.array_max(scored_cells(F.col("__cv"), F.col("__nrm")))["n"]
+                * F.lit(-1)
+            ).alias("cell"),
+        )
     )
-    probes = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        l2_norm(F.col(vec_col)).alias("__nrm"),
-    ).select(
-        "query_id",
-        "__qv",
-        F.explode(
-            F.transform(
-                F.slice(
-                    F.sort_array(scored_cells(F.col("__qv"), F.col("__nrm")), False),
-                    1,
-                    n_probe,
-                ),
-                lambda s: s["n"] * F.lit(-1),
-            )
-        ).alias("cell"),
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            l2_norm(F.col(vec_col)).alias("__nrm"),
+        )
+        .crossJoin(F.broadcast(cent_row))
+        .select(
+            "query_id",
+            "__qv",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.sort_array(
+                            scored_cells(F.col("__qv"), F.col("__nrm")), False
+                        ),
+                        1,
+                        n_probe,
+                    ),
+                    lambda s: s["n"] * F.lit(-1),
+                )
+            ).alias("cell"),
+        )
     )
     cand = (
         F.broadcast(probes)

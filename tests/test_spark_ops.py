@@ -96,7 +96,7 @@ def test_ivf_topk_invariants(spark, emb):
         (r.query_id, r.neighbor_id): r.cos
         for r in cosine_topk(emb, queries, k=1000).collect()
     }
-    got = ivf_topk(emb, queries, k=5, centroid_mod=7, n_probe=2).collect()
+    got = ivf_topk(emb, queries, k=5, num_centroids=8, n_probe=2).collect()
     assert got
     by_q = {}
     for r in got:
@@ -110,7 +110,7 @@ def test_ivf_topk_invariants(spark, emb):
         assert all(rows[i][1] >= rows[i + 1][1] for i in range(len(rows) - 1))
         assert len({r[2] for r in rows}) == len(rows)
     # probing every cell == brute force (n_probe >= n_centroids)
-    full = ivf_topk(emb, queries, k=3, centroid_mod=7, n_probe=10_000).collect()
+    full = ivf_topk(emb, queries, k=3, num_centroids=8, n_probe=10_000).collect()
     brute = cosine_topk(emb, queries, k=3).collect()
     assert {(r.query_id, r.neighbor_id, r.rank) for r in full} == {
         (r.query_id, r.neighbor_id, r.rank) for r in brute

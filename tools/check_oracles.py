@@ -15,6 +15,49 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+import pyarrow as pa
+
+
+def _arrow_family(t):
+    if pa.types.is_decimal(t):
+        return "decimal"  # DuckDB HUGEINT -> decimal128: driver-hash poison
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_date(t):
+        return "timestamp"
+    return str(t)
+
+
+_SPARK_FAMILY = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float", "string": "str",
+    "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    "date": "timestamp", "boolean": "bool",
+}
+
+
+def dtype_mismatches(spark_dtypes, arrow_schema):
+    """Column-name -> (spark family, duck family) for families that differ.
+
+    The driver canonicalizes both sides through pandas/arrow, so a DuckDB
+    HUGEINT (decimal) vs Spark BIGINT is a hash mismatch even when
+    fetchall() values compare equal as Python ints."""
+    duck = {f.name: _arrow_family(f.type) for f in arrow_schema}
+    bad = {}
+    for name, dt in spark_dtypes:
+        sfam = _SPARK_FAMILY.get(dt, dt)
+        dfam = duck.get(name)
+        if dfam is not None and sfam != dfam:
+            bad[name] = (sfam, dfam)
+    return bad
 
 
 def canon(val):
@@ -78,20 +121,24 @@ def main():
         t1 = time.time()
         rel = con.sql(oracles[name])
         ocols = rel.columns
+        arrow_schema = con.sql(oracles[name]).arrow().schema
         orows = rel.fetchall()
         t_duck = time.time() - t1
         ok_cols = sorted(scols) == sorted(ocols)
         ok_count = len(srows) == len(orows)
+        bad_dtypes = dtype_mismatches(sdf.dtypes, arrow_schema)
         ok_vals = False
         if ok_cols and ok_count:
             ok_vals = rows_to_multiset(scols, srows) == rows_to_multiset(ocols, orows)
-        status = "OK " if (ok_cols and ok_count and ok_vals) else "FAIL"
+        status = "OK " if (ok_cols and ok_count and ok_vals and not bad_dtypes) else "FAIL"
         print(
             f"{name:24s} {status} rows={len(srows)}/{len(orows)} cols={'ok' if ok_cols else (scols, ocols)}"
             f" vals={'ok' if ok_vals else 'MISMATCH'} ({t_spark:.1f}s spark, {t_duck:.1f}s duck)"
         )
         if status == "FAIL":
             failures.append(name)
+            if bad_dtypes:
+                print(f"   dtype mismatch (spark vs duck/arrow): {bad_dtypes}")
             if ok_cols and ok_count:
                 a = rows_to_multiset(scols, srows)
                 b = rows_to_multiset(ocols, orows)
