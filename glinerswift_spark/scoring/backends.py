@@ -347,6 +347,188 @@ class NeuralStubBackend:
         return rng.standard_normal(20)
 
 
+@dataclass(frozen=True)
+class PromptEncodingSpec:
+    """The full GLiNER2 schema-encoding dataflow (P6+P7+P8 wired end to
+    end behind the backend seam):
+
+      (schema, text) -> combined prompt+text token sequence -> unigram
+      subword tokenize (F3) -> per-subword hidden states (the encoder
+      SEAM — deterministic fixed-window 'contextual' hash states here; a
+      real transformer drops in at exactly this point) -> first-subword
+      word gather (P7) -> prompt-range mean for [P]/[E] markers (P8) ->
+      prompt projection FFN -> span-rep head (F12) -> span x label dot
+      product (J1, the einsum analogue) -> logits.
+
+    Count predictor runs off the [P] embedding; count-embed produces
+    per-instance label projections (ref GLiNER2SpanPipeline.swift:63-147).
+    ``weights_dir``: optional PromptHeads.save() directory — trained
+    weights load via the manifest's raw-tensor contract (S3); default is
+    seeded weights."""
+
+    dim: int = 64
+    lstm_hidden: int = 32
+    rep_dim: int = 64
+    seed: int = 42
+    scale: float = 4.0
+    bias: float = -2.0
+    max_count: int = 20
+    max_seq_len: int = 512
+    weights_dir: str = ""
+
+    def build(self) -> "PromptEncodingBackend":
+        return PromptEncodingBackend(self)
+
+
+def _char_vocab() -> list:
+    """Fallback unigram vocabulary when no tokenizer.json ships with the
+    manifest: '▁'-prefixed and bare single characters over printable
+    ASCII. Guarantees every normalized word segments (multi-piece, first
+    piece distinct per leading character), which is what the subword
+    plumbing needs; a real vocab swaps in via
+    UnigramTokenizer.from_tokenizer_json."""
+    import string
+
+    chars = string.ascii_lowercase + string.digits + string.punctuation
+    vocab = [("<unk>", -12.0)]
+    vocab += [("▁" + c, -2.0) for c in chars]
+    vocab += [(c, -2.5) for c in chars]
+    vocab.append(("▁", -3.0))
+    return vocab
+
+
+class PromptEncodingBackend:
+    SPECIALS = ("[P]", "[E]", "[C]", "[L]", "[SEP_TEXT]")
+
+    def __init__(self, spec: PromptEncodingSpec):
+        from glinerswift_spark.functions.subword import UnigramTokenizer
+        from glinerswift_spark.scoring.heads import PromptHeads
+
+        self.spec = spec
+        self.tokenizer = UnigramTokenizer(_char_vocab())
+        base = len(self.tokenizer.pieces)
+        self.special_ids = {}
+        for i, tok in enumerate(self.SPECIALS):
+            self.special_ids[tok] = base + i
+            self.tokenizer.register_special_token(tok, base + i)
+        if spec.weights_dir:
+            self.heads = PromptHeads.load(spec.weights_dir)
+        else:
+            self.heads = PromptHeads.seeded(
+                spec.dim, spec.lstm_hidden, spec.rep_dim,
+                max_count=spec.max_count, key=f"promptheads:{spec.seed}",
+            )
+        self._vec_cache: dict = {}
+
+    # -- encoder seam ------------------------------------------------------
+    def _tok_vec(self, token: str) -> np.ndarray:
+        v = self._vec_cache.get(token)
+        if v is None:
+            v = self._vec_cache[token] = _hash_vec(
+                "hs:" + token, self.spec.dim, self.spec.seed
+            )
+        return v
+
+    def _hidden_states(self, encoding) -> np.ndarray:
+        """Deterministic per-subword states with a fixed attention window:
+        state(i) = normalize(h(orig_i) + 0.5 h(orig_{i+1}) + 0.25 h(orig_{i-1})).
+        The window makes the states CONTEXTUAL enough that each [E]
+        marker absorbs its following label (as the real encoder's
+        attention does) — without it every [E] would project to the same
+        label embedding and the prompt-mean path would be untestable."""
+        orig = encoding.original_tokens
+        mask = encoding.attention_mask
+        T = len(orig)
+        out = np.zeros((T, self.spec.dim))
+        for i in range(T):
+            if not mask[i]:
+                continue  # P6: masked positions emit nothing
+            v = self._tok_vec(orig[i]).copy()
+            if i + 1 < T and mask[i + 1]:
+                v += 0.5 * self._tok_vec(orig[i + 1])
+            if i > 0 and mask[i - 1]:
+                v += 0.25 * self._tok_vec(orig[i - 1])
+            n = np.linalg.norm(v)
+            out[i] = v / (n if n > 0 else 1.0)
+        return out
+
+    # -- pipeline ----------------------------------------------------------
+    def encode(self, words: list, labels: list, task: str = "entities"):
+        from glinerswift_spark.functions.schema_encoding import (
+            encode_schema_input,
+        )
+
+        return encode_schema_input(
+            self.tokenizer, words, labels, self.special_ids,
+            task=task, max_len=self.spec.max_seq_len,
+        )
+
+    def _project(self, encoding):
+        from glinerswift_spark.functions.schema_encoding import (
+            project_hidden_states,
+        )
+
+        return project_hidden_states(self._hidden_states(encoding), encoding)
+
+    def score_document(self, text: str, spans: list, labels: list) -> np.ndarray:
+        from glinerswift_spark.config import DEFAULT_CONFIG
+        from glinerswift_spark.functions.schema_encoding import (
+            entity_label_embeddings,
+        )
+
+        n = len(spans)
+        max_w = DEFAULT_CONFIG.max_span_width
+        n_lb = len(labels)
+        if n == 0 or n_lb == 0:
+            return np.full((n, max_w, n_lb), NEG_INF)
+        words = [text[s:e] for s, e in spans]
+        encoding = self.encode(words, labels)
+        word_embs, prompts = self._project(encoding)
+        label_embs = entity_label_embeddings(prompts, n_lb)     # [L, dim]
+        label_proj = self.heads.prompt_proj(label_embs)         # [L, rep]
+        span_rep = self.heads.span_head(word_embs, max_w)       # [n, w, rep]
+        logits = span_rep @ label_proj.T                        # [n, w, L]
+        logits = logits * self.spec.scale + self.spec.bias
+        for w in range(1, max_w):
+            logits[max(n - w, 0):, w, :] = NEG_INF
+        return logits
+
+    def count_logits(self, text: str, structure_name: str) -> np.ndarray:
+        """[P] prompt embedding -> count-predictor linear head (A4 input,
+        ref GLiNER2SpanPipeline.swift:117: countPredictor.predict(
+        promptEmbeddings: [promptEmbedding]))."""
+        from glinerswift_spark.functions.schema_encoding import (
+            prompt_task_embedding,
+        )
+        from glinerswift_spark.functions.text import WORD_RE
+
+        words = WORD_RE.findall(text) or [""]
+        encoding = self.encode(words, [structure_name], task=structure_name)
+        _, prompts = self._project(encoding)
+        return self.heads.count_predictor(prompt_task_embedding(prompts))
+
+    def structure_projections(self, text: str, labels: list) -> np.ndarray:
+        """Count-conditioned per-instance label projections
+        [predicted_count, L, dim]: count-embed over the [E] label
+        embeddings, truncated to the [P]-predicted instance count
+        (ref GLiNER2SpanPipeline.swift:118-124)."""
+        from glinerswift_spark.functions.schema_encoding import (
+            entity_label_embeddings,
+            prompt_task_embedding,
+        )
+        from glinerswift_spark.functions.text import WORD_RE
+
+        words = WORD_RE.findall(text) or [""]
+        encoding = self.encode(words, labels)
+        _, prompts = self._project(encoding)
+        label_embs = entity_label_embeddings(prompts, len(labels))
+        count = predict_count(
+            self.heads.count_predictor(prompt_task_embedding(prompts)),
+            self.spec.max_count,
+        )
+        return self.heads.count_embed(label_embs, count)
+
+
 _BACKEND_CACHE: dict = {}
 
 

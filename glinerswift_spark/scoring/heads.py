@@ -20,6 +20,8 @@ file drops in without code changes (load via sources/manifest.py S1/S3).
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 
 import numpy as np
 
@@ -39,6 +41,23 @@ def sigmoid(x):
     return np.where(x >= 0, 1.0, z) / (1.0 + z)
 
 
+def _load_tensor(path: str, count: int) -> np.ndarray:
+    """Raw little-endian fp32 tensor, validated by element count — the
+    reference's loading contract (ref SpanHead/SpanHeadResources.swift:48-61:
+    byte-count check, then reinterpret as Float)."""
+    arr = np.fromfile(path, dtype="<f4")
+    if arr.size != count:
+        raise ValueError(
+            f"unexpected tensor element count for {path}: "
+            f"expected {count}, got {arr.size}"
+        )
+    return arr.astype(np.float64)
+
+
+def _save_tensor(arr: np.ndarray, path: str) -> None:
+    np.ascontiguousarray(arr, dtype="<f4").tofile(path)
+
+
 class Linear:
     def __init__(self, weight: np.ndarray, bias: np.ndarray):
         self.weight = weight  # [out, in]
@@ -47,6 +66,25 @@ class Linear:
     @classmethod
     def seeded(cls, in_dim: int, out_dim: int, key: str) -> "Linear":
         return cls(_seeded((out_dim, in_dim), key + ":w"), _seeded((out_dim,), key + ":b"))
+
+    @classmethod
+    def from_files(cls, base_dir: str, info: dict) -> "Linear":
+        """``info`` = {"weight","bias","in_features","out_features"} — the
+        reference's LinearInfo (ref SpanHead/SpanHeadMetadata.swift:4-15)."""
+        n_in, n_out = info["in_features"], info["out_features"]
+        w = _load_tensor(os.path.join(base_dir, info["weight"]), n_out * n_in)
+        b = _load_tensor(os.path.join(base_dir, info["bias"]), n_out)
+        return cls(w.reshape(n_out, n_in), b)
+
+    def save(self, base_dir: str, name: str) -> dict:
+        _save_tensor(self.weight, os.path.join(base_dir, f"{name}.weight.bin"))
+        _save_tensor(self.bias, os.path.join(base_dir, f"{name}.bias.bin"))
+        return {
+            "weight": f"{name}.weight.bin",
+            "bias": f"{name}.bias.bin",
+            "in_features": int(self.weight.shape[1]),
+            "out_features": int(self.weight.shape[0]),
+        }
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
         return x @ self.weight.T + self.bias
@@ -62,6 +100,17 @@ class FFN:
     def seeded(cls, in_dim: int, hidden: int, out_dim: int, key: str) -> "FFN":
         return cls(Linear.seeded(in_dim, hidden, key + ":1"),
                    Linear.seeded(hidden, out_dim, key + ":2"))
+
+    @classmethod
+    def from_files(cls, base_dir: str, info: dict) -> "FFN":
+        """``info`` = {"fc1": LinearInfo, "fc2": LinearInfo} — the
+        reference's ProjectionInfo (SpanHeadMetadata.swift:17-20)."""
+        return cls(Linear.from_files(base_dir, info["fc1"]),
+                   Linear.from_files(base_dir, info["fc2"]))
+
+    def save(self, base_dir: str, name: str) -> dict:
+        return {"fc1": self.lin1.save(base_dir, f"{name}.fc1"),
+                "fc2": self.lin2.save(base_dir, f"{name}.fc2")}
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
         return self.lin2(np.maximum(self.lin1(x), 0.0))
@@ -85,6 +134,47 @@ class BiLSTM:
             args += [mk("ihb", (4 * hidden, in_dim)), mk("hhb", (4 * hidden, hidden)),
                      mk("bb", (4 * hidden,))]
         return cls(*args)
+
+    @classmethod
+    def from_files(cls, base_dir: str, info: dict) -> "BiLSTM":
+        """``info`` = the reference's RNNInfo shape (SpanHeadMetadata.swift:
+        36-63): input_size, hidden_size, forward/backward each with
+        weight_ih / weight_hh / bias file names."""
+        n_in, h = info["input_size"], info["hidden_size"]
+
+        def load_dir(d):
+            return (
+                _load_tensor(os.path.join(base_dir, d["weight_ih"]), 4 * h * n_in)
+                .reshape(4 * h, n_in),
+                _load_tensor(os.path.join(base_dir, d["weight_hh"]), 4 * h * h)
+                .reshape(4 * h, h),
+                _load_tensor(os.path.join(base_dir, d["bias"]), 4 * h),
+            )
+
+        fwd = load_dir(info["forward"])
+        bwd = load_dir(info["backward"]) if info.get("backward") else (None, None, None)
+        return cls(*fwd, *bwd)
+
+    def _save_dir(self, weights, base_dir: str, name: str) -> dict:
+        w_ih, w_hh, b = weights
+        _save_tensor(w_ih, os.path.join(base_dir, f"{name}.weight_ih.bin"))
+        _save_tensor(w_hh, os.path.join(base_dir, f"{name}.weight_hh.bin"))
+        _save_tensor(b, os.path.join(base_dir, f"{name}.bias.bin"))
+        return {"weight_ih": f"{name}.weight_ih.bin",
+                "weight_hh": f"{name}.weight_hh.bin",
+                "bias": f"{name}.bias.bin"}
+
+    def save(self, base_dir: str, name: str) -> dict:
+        info = {
+            "input_size": int(self.fwd[0].shape[1]),
+            "hidden_size": int(self.hidden),
+            "num_layers": 1,
+            "bidirectional": self.bwd is not None,
+            "forward": self._save_dir(self.fwd, base_dir, f"{name}.fwd"),
+        }
+        if self.bwd is not None:
+            info["backward"] = self._save_dir(self.bwd, base_dir, f"{name}.bwd")
+        return info
 
     def _run(self, weights, xs: np.ndarray, reverse: bool) -> np.ndarray:
         w_ih, w_hh, b = weights
@@ -131,6 +221,18 @@ class SpanRepHead:
         self.ffn = FFN.seeded(4 * hidden, 2 * hidden, out_dim, seed_key + ":ffn")
         self.out_dim = out_dim
 
+    @classmethod
+    def from_files(cls, base_dir: str, info: dict) -> "SpanRepHead":
+        head = cls.__new__(cls)
+        head.lstm = BiLSTM.from_files(base_dir, info["rnn"])
+        head.ffn = FFN.from_files(base_dir, info["ffn"])
+        head.out_dim = info["ffn"]["fc2"]["out_features"]
+        return head
+
+    def save(self, base_dir: str, name: str) -> dict:
+        return {"rnn": self.lstm.save(base_dir, f"{name}.rnn"),
+                "ffn": self.ffn.save(base_dir, f"{name}.ffn")}
+
     def __call__(self, word_embs: np.ndarray, max_width: int) -> np.ndarray:
         """[n_words, in] -> span reps [n_words, max_width, out_dim];
         out-of-document spans are zero."""
@@ -156,3 +258,109 @@ class SpanRepHead:
             out[:m, w, :] = reps[off : off + m]
             off += m
         return out
+
+
+class CountEmbed:
+    """Per-instance structure projections (count-conditioned label
+    projections): label embeddings [L, d] -> [max_count, L, d], where
+    instance i's projection is FFN(label_emb + count_embedding[i]).
+    Mirrors the reference's count-embed head contract — one call maps the
+    label embeddings to maxCount per-instance embedding sets, and the
+    pipeline keeps the first predictedCount of them
+    (ref Models/GLiNER2CountEmbedModel.swift:27-57 projectedEmbeddings,
+    GLiNER2SpanPipeline.swift:119-124 prefix(predictedCount))."""
+
+    def __init__(self, count_embedding: np.ndarray, proj: FFN):
+        self.count_embedding = count_embedding  # [max_count, d]
+        self.proj = proj
+
+    @classmethod
+    def seeded(cls, dim: int, max_count: int, key: str) -> "CountEmbed":
+        return cls(_seeded((max_count, dim), key + ":emb"),
+                   FFN.seeded(dim, dim, dim, key + ":proj"))
+
+    @classmethod
+    def from_files(cls, base_dir: str, info: dict) -> "CountEmbed":
+        emb = _load_tensor(
+            os.path.join(base_dir, info["embedding"]),
+            info["max_count"] * info["dim"],
+        ).reshape(info["max_count"], info["dim"])
+        return cls(emb, FFN.from_files(base_dir, info["proj"]))
+
+    def save(self, base_dir: str, name: str) -> dict:
+        _save_tensor(self.count_embedding,
+                     os.path.join(base_dir, f"{name}.embedding.bin"))
+        return {"embedding": f"{name}.embedding.bin",
+                "max_count": int(self.count_embedding.shape[0]),
+                "dim": int(self.count_embedding.shape[1]),
+                "proj": self.proj.save(base_dir, f"{name}.proj")}
+
+    def __call__(self, label_embs: np.ndarray, count: int | None = None) -> np.ndarray:
+        """[L, d] -> [count (or max_count), L, d]."""
+        n = self.count_embedding.shape[0] if count is None else count
+        return np.stack([
+            self.proj(label_embs + self.count_embedding[i])
+            for i in range(n)
+        ]) if n > 0 else np.zeros((0,) + label_embs.shape)
+
+
+class PromptHeads:
+    """The complete GLiNER2 head bundle behind the prompt-encoding path:
+
+      span_head        — SpanRepHead (BiLSTM + FFN over [h_start ‖ h_end])
+      prompt_proj      — FFN projecting [E] prompt embeddings into the
+                         span-rep space (ref SpanHeadMetadata
+                         prompt_projection, SpanHeadResources.swift:33-36)
+      count_predictor  — Linear [P]-embedding -> max_count+? logits
+                         (ref GLiNER2CountPredictorModel via
+                         GLiNER2SpanPipeline.swift:117)
+      count_embed      — CountEmbed per-instance projections
+
+    ``save``/``load`` round-trip raw fp32 tensors + a metadata.json shape
+    table — the reference's on-disk contract
+    (ref SpanHead/SpanHeadResources.swift:12-67, SpanHeadMetadata.swift)."""
+
+    METADATA = "metadata.json"
+
+    def __init__(self, span_head: SpanRepHead, prompt_proj: FFN,
+                 count_predictor: Linear, count_embed: CountEmbed):
+        self.span_head = span_head
+        self.prompt_proj = prompt_proj
+        self.count_predictor = count_predictor
+        self.count_embed = count_embed
+
+    @classmethod
+    def seeded(cls, dim: int, lstm_hidden: int, rep_dim: int,
+               max_count: int = 20, key: str = "promptheads") -> "PromptHeads":
+        return cls(
+            SpanRepHead(dim, lstm_hidden, rep_dim, seed_key=key + ":span"),
+            FFN.seeded(dim, dim, rep_dim, key + ":pproj"),
+            Linear.seeded(dim, max_count, key + ":count"),
+            CountEmbed.seeded(dim, max_count, key + ":cembed"),
+        )
+
+    def save(self, out_dir: str) -> str:
+        os.makedirs(out_dir, exist_ok=True)
+        meta = {
+            "layers": {
+                "span_head": self.span_head.save(out_dir, "span_head"),
+                "prompt_projection": self.prompt_proj.save(out_dir, "prompt_projection"),
+                "count_predictor": self.count_predictor.save(out_dir, "count_predictor"),
+                "count_embed": self.count_embed.save(out_dir, "count_embed"),
+            }
+        }
+        path = os.path.join(out_dir, self.METADATA)
+        with open(path, "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
+        return path
+
+    @classmethod
+    def load(cls, base_dir: str) -> "PromptHeads":
+        with open(os.path.join(base_dir, cls.METADATA)) as f:
+            layers = json.load(f)["layers"]
+        return cls(
+            SpanRepHead.from_files(base_dir, layers["span_head"]),
+            FFN.from_files(base_dir, layers["prompt_projection"]),
+            Linear.from_files(base_dir, layers["count_predictor"]),
+            CountEmbed.from_files(base_dir, layers["count_embed"]),
+        )
