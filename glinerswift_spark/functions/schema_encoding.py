@@ -74,6 +74,7 @@ def encode_schema_input(
     special_ids: dict,
     task: str = "entities",
     max_len: int = 512,
+    marker: str = TOKEN_ENTITY,
 ) -> SchemaEncoding:
     """Build the combined schema/text subword sequence.
 
@@ -89,7 +90,7 @@ def encode_schema_input(
         raise ValueError("at least one label is required for schema encoding")
     schema_tokens = ["(", TOKEN_PROMPT, task, "("]
     for lb in labels:
-        schema_tokens.extend([TOKEN_ENTITY, lb])
+        schema_tokens.extend([marker, lb])  # [E] entities, [C] classification
     schema_tokens.extend([")", ")"])
 
     combined = list(schema_tokens)
@@ -202,13 +203,16 @@ def project_hidden_states(
     return word_embs, prompts
 
 
-def entity_label_embeddings(prompts: list, n_labels: int) -> np.ndarray:
-    """The [E]-kind prompt embeddings in schema order — one per label
-    (ref GLiNER2SpanPipeline.swift:80-89, count must match)."""
-    embs = [v for kind, v in prompts if kind == "entity"]
+def entity_label_embeddings(
+    prompts: list, n_labels: int, kind: str = "entity"
+) -> np.ndarray:
+    """The marker-kind prompt embeddings in schema order — one per label
+    ([E] "entity" for extraction, [C] "classification" for the classifier
+    head; ref GLiNER2SpanPipeline.swift:80-89, count must match)."""
+    embs = [v for k, v in prompts if k == kind]
     if len(embs) != n_labels:
         raise ValueError(
-            f"entity prompt count {len(embs)} != label count {n_labels}"
+            f"{kind} prompt count {len(embs)} != label count {n_labels}"
         )
     return np.stack(embs)
 

@@ -72,16 +72,23 @@ def classify_documents(
         from glinerswift_spark.functions.text import word_spans
 
         backend = get_backend(backend_spec)
+        # fast path: a dedicated doc-level head skips the full
+        # [words x widths x labels] span tensor (gazetteer: running max;
+        # prompt backend: the reference's classifier-head dataflow)
+        fast = getattr(backend, "classify_logits", None)
         for pdf in batches:
             rows = {c: [] for c in out_schema.fieldNames()}
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 spans = word_spans(text or "")
                 if not spans:
                     continue
-                logits = backend.score_document(text, spans, labels)
-                # document-level label logit: max over candidate spans
-                finite = np.where(np.isfinite(logits), logits, -np.inf)
-                doc_logits = finite.max(axis=(0, 1))
+                if fast is not None:
+                    doc_logits = np.asarray(fast(text, spans, labels), dtype=float)
+                else:
+                    logits = backend.score_document(text, spans, labels)
+                    # document-level label logit: max over candidate spans
+                    finite = np.where(np.isfinite(logits), logits, -np.inf)
+                    doc_logits = finite.max(axis=(0, 1))
                 doc_logits = np.where(np.isfinite(doc_logits), doc_logits, -30.0)
                 probs = (
                     sigmoid(doc_logits)
@@ -131,7 +138,16 @@ def project_dtype(
 ) -> DataFrame:
     """dtype "str" -> FIRST match per (doc, label) in final entity order
     (start asc, score desc — the SpanDecoder output order); "list" -> all
-    matches collected in that order (ref GLiNER2.swift:107-118)."""
+    matches collected in that order (ref GLiNER2.swift:107-118).
+
+    DELIBERATE DIVERGENCE from the reference on chunked documents: the
+    reference's validEntities.first consumes the extractor's post-merge
+    order, which after a multi-chunk merge is score-DESCENDING, so its
+    'str' pick can differ from the single-chunk (start asc) order on long
+    documents. This engine re-sorts to the documented (start asc, score
+    desc) order for EVERY document, chunked or not — one deterministic,
+    SQL-replayable rule instead of an order that depends on whether the
+    document happened to chunk."""
     id_cols = list(id_cols or ["doc_id"])
     ordered = F.sort_array(
         F.collect_list(F.struct(F.col("start"), (-F.col("score")).alias("negscore"), F.col("entity")))
@@ -190,47 +206,80 @@ def extract_structure(
     use_count_predictor: bool = False,
     max_count: int = 20,
 ) -> DataFrame:
-    """Structured extraction: one entity-extraction pass per field, with the
-    field name (or choices) as labels -> validated -> dtype-projected ->
-    one long row per (doc, structure, field). With use_count_predictor,
-    "list" fields keep only the first predicted_count instances (the
-    reference takes the first predictedCount count-embed projections,
+    """Structured extraction, FUSED: the union of every field's labels
+    goes through ONE entity-extraction pass, then a broadcast
+    label -> field-config join applies each field's validators (P4) and
+    dtype projection (P5) downstream — one corpus scan + one MapInPandas
+    stage regardless of field count. (The reference re-invokes extraction
+    per field, ref API/GLiNER2.swift:234-299 — an O(fields) cost this
+    plan avoids at cluster scale; per-(span,label) scores are unchanged
+    because every backend scores labels independently.) One long row per
+    (doc, structure, field, label). With use_count_predictor, "list"
+    fields keep only the first predicted_count instances (the reference
+    takes the first predictedCount count-embed projections,
     ref GLiNER2SpanPipeline.swift:119-120)."""
     from glinerswift_spark.operators.extract import extract_entities
 
-    counts = (
-        predict_structure_counts(
-            df, structure_name, backend_spec, text_col, id_col, max_count
-        )
-        if use_count_predictor
-        else None
-    )
-    out = None
+    if not fields:
+        return None
+    all_labels: list = []
+    cfg_rows = []
     for fld in fields:
         labels = fld.choices if fld.choices else [fld.description or fld.name]
-        ents = extract_entities(
-            df, labels, backend_spec, text_col=text_col, id_cols=[id_col],
-            threshold=threshold,
+        for lb in labels:
+            if lb not in all_labels:
+                all_labels.append(lb)
+            cfg_rows.append((
+                lb, fld.name, fld.dtype,
+                [v.pattern for v in fld.validators if v.mode == "full"],
+                [v.pattern for v in fld.validators if v.mode == "partial"],
+                [v.pattern for v in fld.validators if v.mode == "exclude"],
+            ))
+            bad = [v.mode for v in fld.validators
+                   if v.mode not in ("full", "partial", "exclude")]
+            if bad:
+                raise ValueError(bad[0])
+    cfg = df.sparkSession.createDataFrame(
+        cfg_rows,
+        "label string, field string, dtype string, full_pats array<string>, "
+        "partial_pats array<string>, exclude_pats array<string>",
+    )
+
+    ents = extract_entities(
+        df, all_labels, backend_spec, text_col=text_col, id_cols=[id_col],
+        threshold=threshold,
+    )
+    # validators ride the broadcast config as per-row regex checks;
+    # forall([]) is true, so validator-free fields pass everything
+    keep = (
+        F.forall("full_pats", lambda p: F.regexp_like(
+            "entity", F.concat(F.lit("^(?:(?i)"), p, F.lit(")$"))))
+        & F.forall("partial_pats", lambda p: F.regexp_like(
+            "entity", F.concat(F.lit("(?i)"), p)))
+        & F.forall("exclude_pats", lambda p: ~F.regexp_like(
+            "entity", F.concat(F.lit("(?i)"), p)))
+    )
+    kept = ents.join(F.broadcast(cfg), "label").where(keep)
+
+    ordered = F.sort_array(F.collect_list(F.struct(
+        F.col("start"), (-F.col("score")).alias("negscore"), F.col("entity"))))
+    agg = kept.groupBy(id_col, "field", "label", "dtype").agg(ordered.alias("__o"))
+    values = F.transform(F.col("__o"), lambda s: s["entity"])
+    capped = values
+    if use_count_predictor:
+        counts = predict_structure_counts(
+            df, structure_name, backend_spec, text_col, id_col, max_count
         )
-        ents = apply_validators(ents, fld)
-        proj = project_dtype(ents, fld.dtype, [id_col])
-        if fld.dtype != "str" and counts is not None:
-            proj = proj.join(counts, id_col, "left").withColumn(
-                "values",
-                F.slice(
-                    F.col("values"), 1, F.coalesce("predicted_count", F.lit(max_count))
-                ),
-            ).drop("predicted_count")
-        value = (
-            F.col("value")
-            if fld.dtype == "str"
-            else F.concat_ws("|", F.col("values"))
+        agg = agg.join(counts, id_col, "left")  # per-doc table: NOT broadcastable
+        capped = F.slice(
+            values, 1, F.coalesce("predicted_count", F.lit(max_count))
         )
-        part = proj.select(
-            id_col,
-            F.lit(structure_name).alias("structure"),
-            F.lit(fld.name).alias("field"),
-            value.alias("value"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    value = F.when(
+        F.col("dtype") == "str", F.element_at(values, 1)
+    ).otherwise(F.concat_ws("|", capped))
+    return agg.select(
+        id_col,
+        F.lit(structure_name).alias("structure"),
+        F.col("field"),
+        value.alias("value"),
+    )

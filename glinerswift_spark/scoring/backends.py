@@ -163,6 +163,31 @@ class GazetteerBackend:
             self._cells_cache[labels] = cached
         return cached
 
+    def classify_logits(self, text: str, spans: list, labels: list) -> np.ndarray:
+        """Document-level label logits WITHOUT materializing the
+        [words x widths x labels] span tensor: the same span enumeration
+        as score_document, but only a running max per label. Value-exact
+        with max-over-the-dense-tensor (labels never hit keep the dense
+        path's NEG_INF fill)."""
+        from glinerswift_spark.config import DEFAULT_CONFIG
+
+        n = len(spans)
+        max_w = DEFAULT_CONFIG.max_span_width
+        label_idx = {lb: i for i, lb in enumerate(labels)}
+        out = np.full(len(labels), NEG_INF)
+        wmax = min(max_w, self.max_phrase_words)
+        by_surface = self.by_surface
+        for s in range(n):
+            cs = spans[s][0]
+            for w in range(min(wmax, n - s)):
+                hit = by_surface.get(text[cs : spans[s + w][1]].lower())
+                if hit:
+                    for lb, lg in hit.items():
+                        li = label_idx.get(lb)
+                        if li is not None and lg > out[li]:
+                            out[li] = lg
+        return out
+
     def count_logits(self, text: str, structure_name: str) -> np.ndarray:
         """Deterministic count head for the lexicon backend: number of
         DISTINCT lexicon surfaces present (word-level), one-hot logits."""
@@ -453,14 +478,15 @@ class PromptEncodingBackend:
         return out
 
     # -- pipeline ----------------------------------------------------------
-    def encode(self, words: list, labels: list, task: str = "entities"):
+    def encode(self, words: list, labels: list, task: str = "entities",
+               marker: str = "[E]"):
         from glinerswift_spark.functions.schema_encoding import (
             encode_schema_input,
         )
 
         return encode_schema_input(
             self.tokenizer, words, labels, self.special_ids,
-            task=task, max_len=self.spec.max_seq_len,
+            task=task, max_len=self.spec.max_seq_len, marker=marker,
         )
 
     def _project(self, encoding):
@@ -492,6 +518,27 @@ class PromptEncodingBackend:
         for w in range(1, max_w):
             logits[max(n - w, 0):, w, :] = NEG_INF
         return logits
+
+    def classify_logits(self, text: str, spans: list, labels: list) -> np.ndarray:
+        """Dedicated classifier head: logits come from the schema's [C]
+        label embeddings through a linear head — the reference's
+        dataflow (ref Models/GLiNER2ClassifierModel.swift:18-51:
+        classifier.logits(schemaEmbeddings:)), NOT a max over the span
+        tensor. No span representations are computed at all."""
+        from glinerswift_spark.functions.prompt import TOKEN_CLASSIFICATION
+        from glinerswift_spark.functions.schema_encoding import (
+            entity_label_embeddings,
+        )
+
+        words = [text[s:e] for s, e in spans]
+        encoding = self.encode(
+            words, labels, task="classification", marker=TOKEN_CLASSIFICATION
+        )
+        _, prompts = self._project(encoding)
+        label_embs = entity_label_embeddings(
+            prompts, len(labels), kind="classification"
+        )
+        return self.heads.classifier(label_embs)[:, 0]
 
     def count_logits(self, text: str, structure_name: str) -> np.ndarray:
         """[P] prompt embedding -> count-predictor linear head (A4 input,

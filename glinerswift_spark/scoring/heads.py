@@ -315,6 +315,11 @@ class PromptHeads:
                          (ref GLiNER2CountPredictorModel via
                          GLiNER2SpanPipeline.swift:117)
       count_embed      — CountEmbed per-instance projections
+      classifier       — Linear schema-embedding -> logit: the dedicated
+                         classification head that scores labels from
+                         their [C] prompt embeddings instead of the span
+                         tensor (ref Models/GLiNER2ClassifierModel.swift:
+                         18-51, GLiNER2SpanPipeline.swift:116)
 
     ``save``/``load`` round-trip raw fp32 tensors + a metadata.json shape
     table — the reference's on-disk contract
@@ -323,11 +328,13 @@ class PromptHeads:
     METADATA = "metadata.json"
 
     def __init__(self, span_head: SpanRepHead, prompt_proj: FFN,
-                 count_predictor: Linear, count_embed: CountEmbed):
+                 count_predictor: Linear, count_embed: CountEmbed,
+                 classifier: Linear):
         self.span_head = span_head
         self.prompt_proj = prompt_proj
         self.count_predictor = count_predictor
         self.count_embed = count_embed
+        self.classifier = classifier
 
     @classmethod
     def seeded(cls, dim: int, lstm_hidden: int, rep_dim: int,
@@ -337,6 +344,7 @@ class PromptHeads:
             FFN.seeded(dim, dim, rep_dim, key + ":pproj"),
             Linear.seeded(dim, max_count, key + ":count"),
             CountEmbed.seeded(dim, max_count, key + ":cembed"),
+            Linear.seeded(dim, 1, key + ":cls"),
         )
 
     def save(self, out_dir: str) -> str:
@@ -347,6 +355,7 @@ class PromptHeads:
                 "prompt_projection": self.prompt_proj.save(out_dir, "prompt_projection"),
                 "count_predictor": self.count_predictor.save(out_dir, "count_predictor"),
                 "count_embed": self.count_embed.save(out_dir, "count_embed"),
+                "classifier": self.classifier.save(out_dir, "classifier"),
             }
         }
         path = os.path.join(out_dir, self.METADATA)
@@ -363,4 +372,5 @@ class PromptHeads:
             FFN.from_files(base_dir, layers["prompt_projection"]),
             Linear.from_files(base_dir, layers["count_predictor"]),
             CountEmbed.from_files(base_dir, layers["count_embed"]),
+            Linear.from_files(base_dir, layers["classifier"]),
         )

@@ -86,3 +86,14 @@ def test_exact_dedup_single_aggregate_exchange(spark, queries):
     plan = plan_of(queries["exact_dedup"](spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_structure_fields_single_extraction_pass(spark, queries):
+    """Fused structured extraction: the union of every field's labels goes
+    through ONE extraction pass + ONE count-predictor pass — 2 MapInPandas
+    stages total, regardless of how many fields the structure declares
+    (the per-field form re-scanned and re-scored the corpus F times)."""
+    plan = plan_of(queries["structure_fields"](spark, SF_DIR))
+    assert plan.count("MapInPandas") == 2
+    # the label -> field-config join is broadcast, never a shuffle join
+    assert "SortMergeJoin" not in plan

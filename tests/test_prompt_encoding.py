@@ -208,3 +208,43 @@ def test_extraction_end_to_end_with_prompt_backend(spark):
         docs, LABELS, PromptEncodingSpec(), threshold=0.05
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_gazetteer_classify_fast_path_matches_dense_max():
+    # the running-max fast path must be value-exact with the dense
+    # [words x widths x labels] tensor max it replaces
+    from glinerswift_spark.scoring.backends import GazetteerSpec
+
+    lex = {("apple", "org"): 0.9, ("john smith", "person"): 0.8}
+    b = GazetteerSpec.from_dict(lex).build()
+    text = "john smith works at apple"
+    spans, off = [], 0
+    for w in text.split(" "):
+        spans.append((off, off + len(w)))
+        off += len(w) + 1
+    labels = ["person", "org", "location"]
+    dense = b.score_document(text, spans, labels)
+    want = dense.max(axis=(0, 1))
+    got = b.classify_logits(text, spans, labels)
+    assert np.array_equal(got, want)
+
+
+def test_prompt_backend_classifier_head(backend):
+    # dedicated [C]-marker classifier head: per-label logits, label-order
+    # equivariant, deterministic
+    text = " ".join(WORDS)
+    spans, off = [], 0
+    for w in WORDS:
+        spans.append((off, off + len(w)))
+        off += len(w) + 1
+    a = backend.classify_logits(text, spans, ["sports", "tech"])
+    assert a.shape == (2,)
+    # deterministic, and sensitive to the label identity (a different
+    # label in the same schema slot moves the logit). NOT order-
+    # equivariant by design: [C] embeddings are contextual, so a label's
+    # logit legitimately depends on its schema neighbors — same as a
+    # real encoder's attention over the prompt.
+    again = backend.classify_logits(text, spans, ["sports", "tech"])
+    assert np.array_equal(a, again)
+    other = backend.classify_logits(text, spans, ["finance", "tech"])
+    assert a[0] != other[0]
