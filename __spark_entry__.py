@@ -121,14 +121,18 @@ def _q_minhash_pairs(spark, sf_dir):
 def _q_ngram_jaccard_dups(spark, sf_dir):
     from glinerswift_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=JACCARD_TAU)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=JACCARD_TAU, max_df=NGRAM_MAX_DF
+    )
 
 
 def _q_near_dedup_components(spark, sf_dir):
     from glinerswift_spark.operators.components import connected_components
     from glinerswift_spark.operators.dedup import ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=JACCARD_TAU)
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=JACCARD_TAU, max_df=NGRAM_MAX_DF
+    )
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
     return cc.select(F.col("node").alias("doc_id"), "component")
 
@@ -703,20 +707,26 @@ sh AS (
     FROM __w WHERE len(w) >= 3
 )"""
 
+NGRAM_MAX_DF = 1000  # boilerplate-shingle candidate guard (quadratic blowup cap)
+
+# candidates from df-guarded shingles (<= NGRAM_MAX_DF docs), jaccard
+# exact over the FULL distinct-shingle sets — replays ngram_jaccard_pairs
 _JACCARD_PAIRS_CTE = f"""{_SHINGLE_CTE},
 ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-inter AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
+exk AS (SELECT doc_id, g FROM ex
+        WHERE g IN (SELECT g FROM ex GROUP BY g HAVING count(*) <= {NGRAM_MAX_DF})),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM exk a JOIN exk b ON a.g = b.g AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, len(s) AS n FROM sh),
 jpairs AS (
     SELECT doc_a, doc_b,
-           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON inter.doc_a = sa.doc_id
-    JOIN sizes sb ON inter.doc_b = sb.doc_id
+           round(len(list_intersect(sa.s, sb.s)) * 1.0
+                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))),
+                 6) AS jaccard
+    FROM cand
+    JOIN sh sa ON cand.doc_a = sa.doc_id
+    JOIN sh sb ON cand.doc_b = sb.doc_id
 )"""
 
 # Full entity-linking replay (graph.mentions_from_entities +
@@ -910,8 +920,10 @@ FROM mm GROUP BY 1, 2"""
     sql["kg_edges"] = f"""WITH RECURSIVE {_TRIPLE_CTE},
 {_LINKING_CTE},
 smap AS (
+    -- ONE canonical per surface (triples carry surfaces, not labels):
+    -- mirrors materialize_edges' documented min-collapse
     SELECT lower(text) AS surface, min(canonical_id) AS canonical_id
-    FROM mm GROUP BY 1, label
+    FROM mm GROUP BY 1
 ),
 resolved AS (
     SELECT s1.canonical_id AS src_id, t.pred, s2.canonical_id AS dst_id

@@ -77,7 +77,9 @@ def run_stage_with_checkpoint(
     bucketed = with_bucket(df, key_col, num_buckets)
     todo = pending_buckets(spark, bucketed, root, stage)
 
-    if todo.limit(1).count() > 0:
+    # bucket ids, not rows: bounded by num_buckets, safe to collect
+    todo_buckets = [r[0] for r in todo.select("part_bucket").distinct().collect()]
+    if todo_buckets:
         result = transform(todo)
         if "part_bucket" not in result.columns:
             result = result.join(
@@ -89,8 +91,15 @@ def run_stage_with_checkpoint(
             .partitionBy("part_bucket")
             .parquet(out_path)
         )
+        # rows_out from the JUST-WRITTEN files, never by re-evaluating the
+        # transform: re-evaluation doubles the stage cost and, for a
+        # nondeterministic transform, could disagree with what was
+        # actually persisted
+        written = spark.read.parquet(out_path).where(
+            F.col("part_bucket").isin(todo_buckets)
+        )
         counters = (
-            result.groupBy("part_bucket")
+            written.groupBy("part_bucket")
             .agg(F.count(F.lit(1)).alias("rows_out"))
             .join(
                 todo.groupBy("part_bucket").agg(F.count(F.lit(1)).alias("rows_in")),

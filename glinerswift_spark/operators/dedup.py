@@ -122,32 +122,39 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with n-gram jaccard >= threshold.
 
-    jaccard over DISTINCT shingle sets; candidates = pairs sharing >= 1
-    (non-boilerplate, if max_df) shingle.
+    Candidates = pairs sharing >= 1 shingle with document frequency
+    <= ``max_df``. The df guard is ON BY DEFAULT: one boilerplate shingle
+    shared by k documents creates k^2/2 join rows, and at web scale a
+    navigation footer shingle with k in the millions is a job-killer.
+    The guard only prunes CANDIDATES — the jaccard itself is computed
+    exactly over the FULL distinct-shingle sets (array_intersect on the
+    candidate pairs), so for any pair that still surfaces the value is
+    identical to the unguarded form. Pass ``max_df=None`` for exhaustive
+    candidate generation (small corpora / oracle replay parity).
     """
     sh = doc_shingles(df, n, text_col, id_col)
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
     ex = sh.select(F.col(id_col), F.explode("shingles").alias("sh"))
     if max_df is not None:
         keep = ex.groupBy("sh").count().where(F.col("count") <= max_df).select("sh")
         ex = ex.join(keep, "sh")
     a = ex.select(F.col(id_col).alias("doc_a"), "sh")
     b = ex.select(F.col(id_col).alias("doc_b"), "sh")
-    inter = (
+    cand = (
         a.join(b, "sh")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("__sa"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    jac = inter / (F.size("__sa") + F.size("__sb") - inter)
     return (
-        inter.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
@@ -213,8 +220,18 @@ def simhash_pairs(
     id_col: str = "doc_id",
     block_col: str = "lang",
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming) pairs with hamming(simhash) <= max_hamming,
-    blocked by ``block_col`` (equi-join, never all-pairs across blocks)."""
+    """(doc_a, doc_b, hamming) pairs with hamming(simhash) <= max_hamming.
+
+    Candidate generation is HAMMING-BAND blocked: the 16-bit fingerprint
+    splits into ``max_hamming + 1`` bit bands, and by pigeonhole any pair
+    within max_hamming flips shares at least one band verbatim — so
+    candidates come from per-(block, band_index, band_value) equi-joins,
+    never an all-pairs join within a language block. The final exact
+    hamming filter makes the result IDENTICAL to the all-pairs form
+    (blocking only prunes candidates that could not pass), so the DuckDB
+    oracle replays the simple quadratic formulation. At web scale the
+    band join is the difference between O(pairs-per-16-bit-bucket) and
+    O(block^2)."""
     from glinerswift_spark.sources.pages import widen_small_scan
 
     sh = widen_small_scan(df, id_col).select(
@@ -224,15 +241,49 @@ def simhash_pairs(
     ).select(
         id_col, block_col, simhash16_from_values(F.col("__v")).alias("sh")
     )
-    a = sh.select(F.col(block_col), F.col(id_col).alias("doc_a"), F.col("sh").alias("sa"))
-    b = sh.select(F.col(block_col), F.col(id_col).alias("doc_b"), F.col("sh").alias("sb"))
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return (
-        a.join(b, block_col)
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
+
+    n_bands = max_hamming + 1
+    if n_bands > SIMHASH_BITS:
+        # degenerate radius: banding can't help; fall back to block join
+        a = sh.select(block_col, F.col(id_col).alias("doc_a"), F.col("sh").alias("sa"))
+        b = sh.select(block_col, F.col(id_col).alias("doc_b"), F.col("sh").alias("sb"))
+        cand = a.join(b, block_col).where(F.col("doc_a") < F.col("doc_b"))
+        return cand.select(
+            "doc_a", "doc_b", ham.cast("int").alias("hamming")
+        ).where(F.col("hamming") <= max_hamming)
+
+    widths = [SIMHASH_BITS // n_bands] * n_bands
+    for i in range(SIMHASH_BITS % n_bands):
+        widths[i] += 1
+    los = [sum(widths[:i]) for i in range(n_bands)]
+    band = F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("bi"),
+            (F.shiftright(F.col("sh"), los[i]) % (1 << widths[i])).alias("bv"),
+        )
+        for i in range(n_bands)
+    ])).alias("band")
+    tagged = sh.select(id_col, block_col, "sh", band).select(
+        id_col, block_col, "sh", "band.bi", "band.bv"
     )
+    a = tagged.select(
+        block_col, "bi", "bv",
+        F.col(id_col).alias("doc_a"), F.col("sh").alias("sa"),
+    )
+    b = tagged.select(
+        block_col, "bi", "bv",
+        F.col(id_col).alias("doc_b"), F.col("sh").alias("sb"),
+    )
+    cand = (
+        a.join(b, [block_col, "bi", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
 
 
 def embedding_neardup_pairs(

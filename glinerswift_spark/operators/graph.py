@@ -59,11 +59,21 @@ def materialize_edges(
     surface_map is small relative to the corpus (distinct surfaces), and is
     broadcast when under the autoBroadcast threshold; at true web scale it
     becomes a shuffle join on the surface key — either way an equi-join.
+
+    Triples carry surface forms, not labels, so the per-(surface, label)
+    map is first collapsed to ONE canonical_id per surface
+    (min(canonical_id), deterministic). Documented choice: a surface
+    linked under two labels resolves every matching triple endpoint to
+    that single node instead of fanning each triple out into duplicate
+    edges with inflated weights.
     """
-    src = surface_map.select(
+    collapsed = surface_map.groupBy("surface").agg(
+        F.min("canonical_id").alias("canonical_id")
+    )
+    src = collapsed.select(
         F.col("surface").alias("__s_surface"), F.col("canonical_id").alias("src_id")
     )
-    dst = surface_map.select(
+    dst = collapsed.select(
         F.col("surface").alias("__o_surface"), F.col("canonical_id").alias("dst_id")
     )
     resolved = (

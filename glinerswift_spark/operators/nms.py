@@ -21,13 +21,27 @@ from pyspark.sql import DataFrame
 from glinerswift_spark.scoring.core import Entity, merge_chunk_entities
 
 
-def _greedy_nms_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    # pinned order: score desc, then (start, end-width, label) enum order —
-    # mirrors decode_spans and ref Scripts/generate_test_fixtures.py:80-106
-    pdf = pdf.sort_values(
-        ["score", "start", "end", "label"], ascending=[False, True, True, True],
-        kind="mergesort",
-    )
+def _greedy_nms_pdf(pdf: pd.DataFrame, label_order: dict | None = None) -> pd.DataFrame:
+    # pinned order: score desc, then (start, end-width, label-INDEX) enum
+    # order — mirrors decode_spans and ref
+    # Scripts/generate_test_fixtures.py:80-106. The tie-break is the
+    # label's position in the query's label list (pass ``labels`` to
+    # nms_entities); without it, alphabetical label order is the fallback
+    # and can disagree with the fused path on exact (score, start, end)
+    # ties across labels.
+    if label_order is not None:
+        pdf = pdf.assign(
+            __li=pdf["label"].map(label_order).fillna(len(label_order))
+        ).sort_values(
+            ["score", "start", "end", "__li"],
+            ascending=[False, True, True, True],
+            kind="mergesort",
+        ).drop(columns="__li")
+    else:
+        pdf = pdf.sort_values(
+            ["score", "start", "end", "label"], ascending=[False, True, True, True],
+            kind="mergesort",
+        )
     chosen: list[tuple[int, int]] = []
     keep = []
     for start, end in zip(pdf["start"], pdf["end"]):
@@ -43,15 +57,25 @@ def _greedy_nms_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(["start", "score"], ascending=[True, False], kind="mergesort")
 
 
-def nms_entities(candidates: DataFrame, doc_cols: list[str] | None = None) -> DataFrame:
+def nms_entities(
+    candidates: DataFrame,
+    doc_cols: list[str] | None = None,
+    labels: list[str] | None = None,
+) -> DataFrame:
     """Greedy flat NMS over candidate rows (doc..., label, entity, score, start, end).
 
     Char-offset variant of ref SpanDecoder.greedySelect: exact-range
     duplicates rejected across labels; any overlapping range rejected.
+    ``labels``: the query's label list — equal-score ties break by label
+    INDEX in it, exactly like the fused decode path; unknown labels sort
+    last.
     """
     doc_cols = list(doc_cols or ["doc_id"])
+    label_order = (
+        {lb: i for i, lb in enumerate(labels)} if labels is not None else None
+    )
     return candidates.groupBy(*doc_cols).applyInPandas(
-        lambda pdf: _greedy_nms_pdf(pdf), schema=candidates.schema
+        lambda pdf: _greedy_nms_pdf(pdf, label_order), schema=candidates.schema
     )
 
 
