@@ -449,6 +449,25 @@ def _q_kg_entities_thresholded(spark, sf_dir):
     return apply_label_thresholds_join(_q_kg_entities(spark, sf_dir), cfg, THRESHOLD)
 
 
+def _q_structure_instances(spark, sf_dir):
+    """Count-embed per-INSTANCE structured rows (ref
+    GLiNER2CountEmbedModel.swift:27-57 + GLiNER2SpanPipeline.swift:119-124
+    take-first-predictedCount): instance i of the 'ops' field is the i-th
+    positional occurrence of each operator term, instances capped at the
+    count predictor's output — the whole path replayed exactly in SQL
+    (row_number per (doc, term) by char offset, <= pc)."""
+    from glinerswift_spark.operators.classify import structure_instances
+    from glinerswift_spark.schema import FieldSpec
+    from glinerswift_spark.scoring.backends import GazetteerSpec
+
+    lex = {(t, t): term_score(t) for t in OPERATOR_TERMS + OBJECT_TERMS}
+    fields = [FieldSpec(name="ops", dtype="list", choices=list(OPERATOR_TERMS))]
+    return structure_instances(
+        _docs(spark, sf_dir), "pipeline", fields,
+        GazetteerSpec.from_dict(lex), threshold=0.5,
+    )
+
+
 def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -629,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
         "structure_fields": _q_structure_fields,
+        "structure_instances": _q_structure_instances,
         "kg_entities_chunked": _q_kg_entities_chunked,
         "pages_entities": _q_pages_entities,
         "classify_gazetteer": _q_classify_gazetteer,
@@ -1045,6 +1065,32 @@ obj AS (
 )
 SELECT doc_id, 'pipeline' AS structure, field, "value"
 FROM (SELECT * FROM ops UNION ALL SELECT * FROM obj)"""
+
+    sql["structure_instances"] = f"""WITH
+__words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+__tok AS (
+    SELECT doc_id, i, w[i] AS term,
+           CAST(coalesce(list_sum(list_transform(w[1:i-1], x -> length(x) + 1)), 0)
+                AS INT) AS tok_start
+    FROM __words, unnest(generate_series(1, len(w))) AS t(i)
+),
+cnt AS (
+    SELECT doc_id,
+           least(len(list_filter({terms_arr},
+                 s -> list_contains(list_distinct(string_split(lower(text), ' ')), s))),
+                 19) AS pc
+    FROM documents
+),
+occ AS (
+    SELECT tok.doc_id, tok.term, tok.tok_start,
+           row_number() OVER (PARTITION BY tok.doc_id, tok.term
+                              ORDER BY tok.tok_start) AS inst
+    FROM __tok tok WHERE tok.term IN ({ops_in})
+)
+SELECT o.doc_id, 'pipeline' AS structure, 'ops' AS field, o.term AS label,
+       CAST(o.inst AS INT) AS instance, o.term AS "value", o.tok_start AS "start"
+FROM occ o JOIN cnt c USING (doc_id)
+WHERE o.inst <= c.pc"""
 
     sql["ann_ivf"] = f"""WITH {_COS_CTE},
 cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM __n

@@ -222,35 +222,74 @@ def extract_structure(
 
     if not fields:
         return None
-    all_labels: list = []
+    labels, groups = structure_label_groups(fields)
+    ents = extract_entities(
+        df, labels, backend_spec, text_col=text_col,
+        id_cols=[id_col], threshold=threshold, label_groups=groups,
+    )
+    counts = (
+        predict_structure_counts(
+            df, structure_name, backend_spec, text_col, id_col, max_count
+        )
+        if use_count_predictor
+        else None
+    )
+    return structure_from_entities(
+        ents, structure_name, fields, counts=counts,
+        max_count=max_count, id_col=id_col,
+    )
+
+
+def structure_labels(fields: list[FieldSpec]) -> list[str]:
+    """Union of every field's labels, first-occurrence order."""
+    return structure_label_groups(fields)[0]
+
+
+def structure_label_groups(
+    fields: list[FieldSpec], base: int = 0
+) -> tuple[list[str], list[int]]:
+    """(labels, group ids) for a fused pass: one NMS group per FIELD
+    (the reference extracts per field, so fields never suppress each
+    other's spans). A label shared by two fields keeps the first field's
+    group; its entities still reach every declaring field through the
+    label-config join."""
+    labels: list = []
+    groups: list = []
+    for fi, fld in enumerate(fields):
+        for lb in (fld.choices if fld.choices else [fld.description or fld.name]):
+            if lb not in labels:
+                labels.append(lb)
+                groups.append(base + fi)
+    return labels, groups
+
+
+def _field_config(spark, fields: list[FieldSpec]) -> DataFrame:
     cfg_rows = []
     for fld in fields:
-        labels = fld.choices if fld.choices else [fld.description or fld.name]
-        for lb in labels:
-            if lb not in all_labels:
-                all_labels.append(lb)
+        bad = [v.mode for v in fld.validators
+               if v.mode not in ("full", "partial", "exclude")]
+        if bad:
+            raise ValueError(bad[0])
+        for lb in (fld.choices if fld.choices else [fld.description or fld.name]):
             cfg_rows.append((
                 lb, fld.name, fld.dtype,
                 [v.pattern for v in fld.validators if v.mode == "full"],
                 [v.pattern for v in fld.validators if v.mode == "partial"],
                 [v.pattern for v in fld.validators if v.mode == "exclude"],
             ))
-            bad = [v.mode for v in fld.validators
-                   if v.mode not in ("full", "partial", "exclude")]
-            if bad:
-                raise ValueError(bad[0])
-    cfg = df.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         cfg_rows,
         "label string, field string, dtype string, full_pats array<string>, "
         "partial_pats array<string>, exclude_pats array<string>",
     )
 
-    ents = extract_entities(
-        df, all_labels, backend_spec, text_col=text_col, id_cols=[id_col],
-        threshold=threshold,
-    )
-    # validators ride the broadcast config as per-row regex checks;
-    # forall([]) is true, so validator-free fields pass everything
+
+def _validated_field_entities(
+    ents: DataFrame, fields: list[FieldSpec]
+) -> DataFrame:
+    """entities joined to the broadcast label -> field config, validator-
+    filtered; forall([]) is true, so validator-free fields pass all."""
+    cfg = _field_config(ents.sparkSession, fields)
     keep = (
         F.forall("full_pats", lambda p: F.regexp_like(
             "entity", F.concat(F.lit("^(?:(?i)"), p, F.lit(")$"))))
@@ -259,17 +298,37 @@ def extract_structure(
         & F.forall("exclude_pats", lambda p: ~F.regexp_like(
             "entity", F.concat(F.lit("(?i)"), p)))
     )
-    kept = ents.join(F.broadcast(cfg), "label").where(keep)
+    return ents.join(F.broadcast(cfg), "label").where(keep)
 
+
+def _ordered_field_values(
+    kept: DataFrame, id_col: str
+) -> DataFrame:
+    """-> (id, field, label, dtype, __o) with __o the (start asc, score
+    desc) ordered struct list — the SpanDecoder output order."""
     ordered = F.sort_array(F.collect_list(F.struct(
         F.col("start"), (-F.col("score")).alias("negscore"), F.col("entity"))))
-    agg = kept.groupBy(id_col, "field", "label", "dtype").agg(ordered.alias("__o"))
+    return kept.groupBy(id_col, "field", "label", "dtype").agg(
+        ordered.alias("__o")
+    )
+
+
+def structure_from_entities(
+    ents: DataFrame,
+    structure_name: str,
+    fields: list[FieldSpec],
+    counts: DataFrame | None = None,
+    max_count: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Post-extraction half of the fused structure path: validated field
+    entities -> per-(doc, field, label) ordered values -> dtype-projected
+    long rows. Takes an existing entity DataFrame so a multi-task run can
+    share one extraction pass across tasks."""
+    agg = _ordered_field_values(_validated_field_entities(ents, fields), id_col)
     values = F.transform(F.col("__o"), lambda s: s["entity"])
     capped = values
-    if use_count_predictor:
-        counts = predict_structure_counts(
-            df, structure_name, backend_spec, text_col, id_col, max_count
-        )
+    if counts is not None:
         agg = agg.join(counts, id_col, "left")  # per-doc table: NOT broadcastable
         capped = F.slice(
             values, 1, F.coalesce("predicted_count", F.lit(max_count))
@@ -282,4 +341,56 @@ def extract_structure(
         F.lit(structure_name).alias("structure"),
         F.col("field"),
         value.alias("value"),
+    )
+
+
+def structure_instances(
+    df: DataFrame,
+    structure_name: str,
+    fields: list[FieldSpec],
+    backend_spec,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float | None = None,
+    max_count: int = 20,
+) -> DataFrame:
+    """Per-INSTANCE structured rows — the count-embed semantics as a
+    relational operator: the count predictor says how many instances of
+    the structure a document holds, the count-embed head produces one
+    label projection per instance, and instance i decodes the i-th match
+    (ref Models/GLiNER2CountEmbedModel.swift:27-57 projectedEmbeddings ->
+    GLiNER2SpanPipeline.swift:119-124 prefix(predictedCount); for the
+    deterministic backends projection i selecting the i-th positional
+    occurrence is the exact analogue). Output: one row per
+    (doc, field, label, instance) with the instance's value and char
+    offset, instances capped at predicted_count."""
+    from glinerswift_spark.operators.extract import extract_entities
+
+    if not fields:
+        return None
+    labels, groups = structure_label_groups(fields)
+    ents = extract_entities(
+        df, labels, backend_spec, text_col=text_col,
+        id_cols=[id_col], threshold=threshold, label_groups=groups,
+    )
+    counts = predict_structure_counts(
+        df, structure_name, backend_spec, text_col, id_col, max_count
+    )
+    agg = _ordered_field_values(_validated_field_entities(ents, fields), id_col)
+    agg = agg.join(counts, id_col, "left")
+    inst = F.posexplode(
+        F.slice(
+            F.col("__o"), 1, F.coalesce("predicted_count", F.lit(max_count))
+        )
+    )
+    return agg.select(
+        id_col, "field", "label", inst.alias("__i", "__s")
+    ).select(
+        id_col,
+        F.lit(structure_name).alias("structure"),
+        "field",
+        "label",
+        (F.col("__i") + 1).cast("int").alias("instance"),
+        F.col("__s.entity").alias("value"),
+        F.col("__s.start").alias("start"),
     )

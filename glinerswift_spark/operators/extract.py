@@ -58,8 +58,13 @@ def extract_entities(
     id_cols: list[str] | None = None,
     threshold: float | None = None,
     config: Configuration = DEFAULT_CONFIG,
+    label_groups: list[int] | None = None,
 ) -> DataFrame:
-    """documents -> long-format entities(id..., label, entity, score, start, end)."""
+    """documents -> long-format entities(id..., label, entity, score, start, end).
+
+    ``label_groups``: per-label task-group ids — scoring stays one pass,
+    greedy NMS runs per group (task isolation for fused multi-task runs;
+    see scoring/pipeline.extract_document)."""
     id_cols = list(id_cols or ["doc_id"])
     labels = list(labels)
     out_schema = entity_output_schema(df, id_cols)
@@ -73,7 +78,8 @@ def extract_entities(
             ids = {c: pdf[c] for c in id_cols}
             for i in range(len(pdf)):
                 ents = extract_document(
-                    texts.iat[i], labels, backend, threshold=threshold, config=config
+                    texts.iat[i], labels, backend, threshold=threshold,
+                    config=config, label_groups=label_groups,
                 )
                 for e in ents:
                     for c in id_cols:

@@ -32,12 +32,37 @@ def extract_document(
     backend,
     threshold: float | None = None,
     config: Configuration = DEFAULT_CONFIG,
+    label_groups: list[int] | None = None,
 ) -> list[Entity]:
+    """``label_groups``: optional per-label TASK group ids (parallel to
+    ``labels``). Scoring always runs ONCE over the full label set; with
+    groups, greedy NMS runs independently per group — so a fused
+    multi-task pass (entity task + each structure field) keeps the
+    reference's task isolation: one task's high-scoring span never
+    suppresses another task's overlapping span (the reference extracts
+    per task, ref API/GLiNER2.swift:80-163,234-299). Without groups,
+    flat NMS across all labels — the single-task reference behavior."""
     if not text or not labels:
         return []  # ref GLiNERModel.swift:126,363 — empty in, empty out
     thr = config.threshold if threshold is None else threshold
 
     sparse = getattr(backend, "score_document_sparse", None)
+
+    groups: list[tuple[list[int], list[str]]] | None = None
+    if label_groups is not None:
+        if len(label_groups) != len(labels):
+            raise ValueError("label_groups must parallel labels")
+        order: list[int] = []
+        for g in label_groups:
+            if g not in order:
+                order.append(g)
+        groups = [
+            (
+                [i for i, lg in enumerate(label_groups) if lg == g],
+                [labels[i] for i, lg in enumerate(label_groups) if lg == g],
+            )
+            for g in order
+        ]
 
     def run(piece: str, spans: list | None = None) -> list[Entity]:
         if spans is None:
@@ -47,9 +72,30 @@ def extract_document(
         if sparse is not None:
             # lexicon-style backends emit only matched cells — identical
             # decode semantics, no dense [words x widths x labels] tensor
-            return decode_candidates(sparse(piece, spans, labels), labels, thr, piece, spans)
+            cands = sparse(piece, spans, labels)
+            if groups is None:
+                return decode_candidates(cands, labels, thr, piece, spans)
+            out: list[Entity] = []
+            for idxs, sub_labels in groups:
+                remap = {li: k for k, li in enumerate(idxs)}
+                sub = [
+                    (s, w, remap[li], sc)
+                    for (s, w, li, sc) in cands
+                    if li in remap
+                ]
+                out.extend(decode_candidates(sub, sub_labels, thr, piece, spans))
+            out.sort(key=lambda e: (e.start, -e.score))
+            return out
         logits = backend.score_document(piece, spans, labels)
-        return decode_spans(logits, labels, thr, piece, spans)
+        if groups is None:
+            return decode_spans(logits, labels, thr, piece, spans)
+        out = []
+        for idxs, sub_labels in groups:
+            out.extend(
+                decode_spans(logits[:, :, idxs], sub_labels, thr, piece, spans)
+            )
+        out.sort(key=lambda e: (e.start, -e.score))
+        return out
 
     # one regex pass decides chunking AND feeds the short-doc fast path
     # (should_chunk == word count > max, same WORD_RE as word_spans)

@@ -94,3 +94,70 @@ def test_dtype_str_vs_list(spark):
     assert s.value == "a"
     l = project_dtype(df, "list").collect()[0]
     assert list(l["values"]) == ["a", "b", "c"]
+
+
+def test_run_schema_multitask_single_pass(spark):
+    from glinerswift_spark.plans.schema_runner import run_schema
+    from glinerswift_spark.schema import RegexValidator, Schema
+    from glinerswift_spark.scoring.backends import GazetteerSpec
+
+    lex = {
+        ("alice", "person"): 0.9,
+        ("acme", "company"): 0.8,
+        ("alice@x.com", "email address"): 0.85,
+        ("sports", "topic:sports"): 0.7,
+    }
+    docs = spark.createDataFrame(
+        [(0, "alice works at acme contact alice@x.com"),
+         (1, "acme acme sports")],
+        "doc_id long, text string",
+    )
+    schema = (
+        Schema()
+        .entities(["person", "company"])
+        .structure("contact")
+        .field("email", dtype="str", choices=["email address"],
+               validators=[RegexValidator(r"[\w.@]+@[\w.]+", mode="full")])
+        .classification("topic", ["topic:sports", "person"])
+    )
+    out = run_schema(docs, schema, GazetteerSpec.from_dict(lex), threshold=0.5)
+
+    ents = {(r.doc_id, r.label, r.entity) for r in out["entities"].collect()}
+    assert (0, "person", "alice") in ents
+    assert (1, "company", "acme") in ents
+    assert not any(lb == "email address" for _, lb, _ in ents)
+
+    (srow,) = out["structures"].collect()
+    assert (srow.structure, srow.field, srow.value) == ("contact", "email", "alice@x.com")
+
+    cls = out["classifications"].collect()
+    assert any(r.label == "topic:sports" and r.doc_id == 1 and r.is_top for r in cls)
+
+    # single shared extraction: entity rows + structure rows come from ONE
+    # MapInPandas pass each branch references (classification adds its own
+    # head-only pass)
+    plan = out["entities"]._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+
+
+def test_structure_instances_cap_and_order(spark):
+    from glinerswift_spark.operators.classify import structure_instances
+    from glinerswift_spark.schema import FieldSpec
+    from glinerswift_spark.scoring.backends import GazetteerSpec
+
+    lex = {("scan", "scan"): 0.9, ("join", "join"): 0.8}
+    docs = spark.createDataFrame(
+        [(0, "scan then scan then join then scan")],
+        "doc_id long, text string",
+    )
+    fields = [FieldSpec(name="ops", dtype="list", choices=["scan", "join"])]
+    rows = structure_instances(
+        docs, "pipeline", fields, GazetteerSpec.from_dict(lex), threshold=0.5
+    ).collect()
+    # count predictor: 2 distinct lexicon surfaces -> pc=2: first TWO
+    # positional occurrences per label survive, in char-offset order
+    scans = sorted((r.instance, r.start) for r in rows if r.label == "scan")
+    assert scans == [(1, 0), (2, 10)]
+    joins = [(r.instance, r.start) for r in rows if r.label == "join"]
+    assert joins == [(1, 20)]
+    assert all(r.value in ("scan", "join") for r in rows)
