@@ -100,10 +100,112 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     return timings, extras
 
 
+def bench_latency(
+    sf_dir: str,
+    iterations: int = 3,
+    warmup: int = 1,
+    samples: int = 200,
+    concurrency: int = 1,
+    backend: str = "gazetteer",
+) -> dict:
+    """Latency mode (ref Sources/Benchmarks/BenchmarkCLI.swift latency
+    mode + BenchmarkStatistics:282-301): per-request wall time of the
+    single-document extraction pipeline — the executor-side hot loop,
+    measured without Spark overhead — with warmup passes per sample,
+    avg/median/p95/min/max, chars/sec, and an optional concurrent
+    throughput pass (requests/sec over a thread pool, the reference's
+    --concurrency analogue)."""
+    from statistics import mean, median, quantiles
+    from time import perf_counter
+
+    import pyarrow.parquet as pq
+
+    from glinerswift_spark.scoring.backends import (
+        FLAGSHIP_LABELS,
+        NeuralStubSpec,
+        flagship_gazetteer,
+        get_backend,
+    )
+    from glinerswift_spark.scoring.pipeline import extract_document
+
+    spec = NeuralStubSpec() if backend == "neural" else flagship_gazetteer()
+    be = get_backend(spec)
+    texts = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()[:samples]
+    )
+
+    lat_ms: list[float] = []
+    chars = words = ents = 0
+    for text in texts:
+        for _ in range(warmup):
+            extract_document(text, FLAGSHIP_LABELS, be, threshold=0.5)
+        for _ in range(iterations):
+            t0 = perf_counter()
+            es = extract_document(text, FLAGSHIP_LABELS, be, threshold=0.5)
+            lat_ms.append((perf_counter() - t0) * 1000.0)
+            chars += len(text)
+            words += len(text.split())
+            ents += len(es)
+
+    total_s = sum(lat_ms) / 1000.0
+    stats = {
+        "mode": "latency",
+        "backend": backend,
+        "samples": len(texts),
+        "iterations_per_sample": iterations,
+        "total_requests": len(lat_ms),
+        "avg_ms": round(mean(lat_ms), 3),
+        "p50_ms": round(median(lat_ms), 3),
+        "p95_ms": round(quantiles(lat_ms, n=20)[18], 3) if len(lat_ms) >= 20
+        else round(max(lat_ms), 3),
+        "min_ms": round(min(lat_ms), 3),
+        "max_ms": round(max(lat_ms), 3),
+        "chars_per_sec": round(chars / total_s, 1) if total_s else None,
+        "words_analyzed": words,
+        "entities_extracted": ents,
+    }
+    if concurrency > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        t0 = perf_counter()
+        with ThreadPoolExecutor(max_workers=concurrency) as ex:
+            list(ex.map(
+                lambda t: extract_document(t, FLAGSHIP_LABELS, be, threshold=0.5),
+                texts,
+            ))
+        wall = perf_counter() - t0
+        stats["concurrency"] = concurrency
+        stats["requests_per_sec"] = round(len(texts) / wall, 1) if wall else None
+    return stats
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None
+
+    if "--latency" in sys.argv:
+        def _arg(name, default):
+            return int(sys.argv[sys.argv.index(name) + 1]) if name in sys.argv else default
+
+        stats = bench_latency(
+            sf_dir,
+            iterations=_arg("--iterations", 3),
+            warmup=_arg("--warmup", 1),
+            samples=_arg("--samples", 200),
+            concurrency=_arg("--concurrency", 1),
+            backend="neural" if "--neural" in sys.argv else "gazetteer",
+        )
+        print(json.dumps({
+            "metric": "latency_p50_ms",
+            "value": stats["p50_ms"],
+            "unit": "ms",
+            "sf": sf,
+            **stats,
+        }))
+        return
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
