@@ -1,0 +1,100 @@
+"""Streaming operators: watermarked windows + applyInPandasWithState
+sessionization, checked against their batch twins on the same events."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from glinerswift_spark.streaming.stateful import (
+    sessionize_stream,
+    stream_events,
+    windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    # time-ordered files so micro-batches replay the stream in order
+    # (the operator's documented arrival contract)
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events.orderBy("ts", "event_id").coalesce(1).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_to_memory(stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    stream = stream_events(spark, events_dir)
+    _run_to_memory(windowed_event_counts(stream), "win_out", "complete")
+    got = {
+        (r.day, r.event_type, r.n_events, r.sum_value)
+        for r in spark.sql("select * from win_out").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("day"), "event_type", "n_events", "sum_value")
+    )
+    want = {(r.day, r.event_type, r.n_events, r.sum_value) for r in batch.collect()}
+    assert got == want
+
+
+def test_sessionize_stream_closed_sessions_match_batch(spark, events_dir):
+    from pyspark.sql import Window
+
+    stream = stream_events(spark, events_dir)
+    _run_to_memory(sessionize_stream(stream, gap_minutes=30), "sess_out", "append")
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         round(r.sum_value, 6))
+        for r in spark.sql("select * from sess_out").collect()
+    }
+
+    # batch twin: gap-based sessions; the stream emits every CLOSED
+    # session (a later event arrived), i.e. all but each user's last
+    events = spark.read.parquet(events_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gap = ms - F.lag(ms).over(w)
+    sess = (
+        events.withColumn(
+            "session_idx",
+            F.sum(
+                F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0)
+            ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    last = sess.groupBy("user_id").agg(F.max("session_idx").alias("last_idx"))
+    closed = sess.join(last, "user_id").where(
+        F.col("session_idx") < F.col("last_idx")
+    )
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         round(r.sum_value, 6))
+        for r in closed.collect()
+    }
+    assert got == want
+    assert got, "no closed sessions emitted — gap threshold never fired"
