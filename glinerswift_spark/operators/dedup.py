@@ -99,6 +99,16 @@ def minhash_candidate_pairs(
         ).alias("bs"),
     ).select(id_col, "bs.band", "bs.sig")
 
+    # the signature relation is referenced FOUR times below (count side,
+    # join side, then both halves of the self-join); persisting it makes
+    # the scan-side md5 work run once instead of four times. Signatures
+    # are 4 small rows per doc — negligible next to the corpus — and
+    # persist keeps a recomputable lineage (unlike localCheckpoint) for
+    # executor loss at cluster scale.
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+
     bounded = sigs.join(
         sigs.groupBy("band", "sig")
         .count()

@@ -58,6 +58,11 @@ def mention_candidate_pairs(
             )
         ).alias("bs"),
     ).select("mention_id", "label", "bs.band", "bs.sig")
+    # both self-join halves reference sigs: persist so the per-mention
+    # shingle md5 work runs once (see dedup.minhash_candidate_pairs)
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     a = sigs.select("label", "band", "sig", F.col("mention_id").alias("mention_a"))
     b = sigs.select("label", "band", "sig", F.col("mention_id").alias("mention_b"))
     return (
