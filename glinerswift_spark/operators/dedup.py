@@ -146,7 +146,12 @@ def ngram_jaccard_pairs(
     identical to the unguarded form. Pass ``max_df=None`` for exhaustive
     candidate generation (small corpora / oracle replay parity).
     """
-    sh = doc_shingles(df, n, text_col, id_col)
+    from pyspark import StorageLevel
+
+    # the shingle relation feeds candidate generation (x2) AND both
+    # array sides of the exact-jaccard join — persist so the scan-side
+    # shingling runs once, not four times
+    sh = doc_shingles(df, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     ex = sh.select(F.col(id_col), F.explode("shingles").alias("sh"))
     if max_df is not None:
         keep = ex.groupBy("sh").count().where(F.col("count") <= max_df).select("sh")
