@@ -110,6 +110,71 @@ def classify_documents(
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 
 
+def classify_documents_multi(
+    df: DataFrame,
+    specs: list[ClassificationSpec],
+    backend_spec,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All classification tasks in ONE corpus pass: the per-task loop
+    runs inside the UDF over each document, so a schema with T tasks
+    costs one scan instead of T (same per-task semantics as
+    classify_documents, same fast classifier-head path)."""
+    specs = list(specs)
+    (id_field,) = [f for f in df.schema.fields if f.name == id_col]
+    out_schema = StructType(
+        [
+            id_field,
+            StructField("task", StringType()),
+            StructField("label", StringType()),
+            StructField("score", DoubleType()),
+            StructField("is_top", BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from glinerswift_spark.functions.text import word_spans
+
+        backend = get_backend(backend_spec)
+        fast = getattr(backend, "classify_logits", None)
+        for pdf in batches:
+            rows = {c: [] for c in out_schema.fieldNames()}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                spans = word_spans(text or "")
+                if not spans:
+                    continue
+                for spec in specs:
+                    labels = list(spec.labels)
+                    if fast is not None:
+                        doc_logits = np.asarray(
+                            fast(text, spans, labels), dtype=float
+                        )
+                    else:
+                        logits = backend.score_document(text, spans, labels)
+                        finite = np.where(np.isfinite(logits), logits, -np.inf)
+                        doc_logits = finite.max(axis=(0, 1))
+                    doc_logits = np.where(
+                        np.isfinite(doc_logits), doc_logits, -30.0
+                    )
+                    probs = (
+                        sigmoid(doc_logits)
+                        if spec.multi_label
+                        else stable_softmax(doc_logits)
+                    )
+                    top_idx = int(np.argmax(probs))
+                    for i, lb in enumerate(labels):
+                        if probs[i] >= spec.cls_threshold or i == top_idx:
+                            rows[id_col].append(doc_id)
+                            rows["task"].append(spec.task)
+                            rows["label"].append(lb)
+                            rows["score"].append(float(probs[i]))
+                            rows["is_top"].append(i == top_idx)
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
 def top_prediction(classified: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Top-1 per document (ref GLiNER2.swift:330-332)."""
     return classified.where(F.col("is_top")).select(

@@ -5,9 +5,10 @@ encoding per document (ref API/GLiNER2.swift:80-163). The Spark analogue:
 every span-scoring task — the entity task and every structure field —
 shares ONE extraction pass over the union of their labels; the split
 back into tasks is a broadcast label-config join downstream.
-Classification tasks run off the document-level classifier head
-(operators/classify.classify_documents fast path), which computes no span
-representations at all — a second, much cheaper pass.
+ALL classification tasks run fused in one document-level classifier-head
+pass (operators/classify.classify_documents_multi), which computes no
+span representations at all — a single second, much cheaper pass
+regardless of how many classification tasks the schema declares.
 
 Per-task thresholds apply AFTER the shared pass: extraction runs at the
 minimum threshold any task needs, each task re-filters to its own. That
@@ -39,7 +40,7 @@ def run_schema(
     span-scoring tasks fed by a single extract_entities pass.
     """
     from glinerswift_spark.operators.classify import (
-        classify_documents,
+        classify_documents_multi,
         predict_structure_counts,
         structure_from_entities,
         structure_label_groups,
@@ -103,15 +104,12 @@ def run_schema(
             for p in st_parts[1:]:
                 structures = structures.unionByName(p)
 
+    # all classification tasks fused into ONE head-only pass
     classifications = None
-    cls_parts = [
-        classify_documents(df, spec, backend_spec, text_col, id_col)
-        for spec in schema.classification_specs
-    ]
-    if cls_parts:
-        classifications = cls_parts[0]
-        for p in cls_parts[1:]:
-            classifications = classifications.unionByName(p)
+    if schema.classification_specs:
+        classifications = classify_documents_multi(
+            df, schema.classification_specs, backend_spec, text_col, id_col
+        )
 
     return {
         "entities": entities,

@@ -161,3 +161,33 @@ def test_structure_instances_cap_and_order(spark):
     joins = [(r.instance, r.start) for r in rows if r.label == "join"]
     assert joins == [(1, 20)]
     assert all(r.value in ("scan", "join") for r in rows)
+
+
+def test_classify_multi_matches_per_task(spark):
+    from glinerswift_spark.operators.classify import (
+        classify_documents,
+        classify_documents_multi,
+    )
+    from glinerswift_spark.schema import ClassificationSpec
+    from glinerswift_spark.scoring.backends import GazetteerSpec
+
+    lex = {("alice", "person"): 0.9, ("sports", "t:sports"): 0.7,
+           ("acme", "t:business"): 0.8}
+    docs = spark.createDataFrame(
+        [(0, "alice likes sports"), (1, "acme ships software")],
+        "doc_id long, text string",
+    )
+    specs = [
+        ClassificationSpec("topic", ["t:sports", "t:business"], False, 0.4),
+        ClassificationSpec("has_person", ["person"], True, 0.5),
+    ]
+    spec_df = GazetteerSpec.from_dict(lex)
+    fused = classify_documents_multi(docs, specs, spec_df)
+    rows_fused = {tuple(r) for r in fused.collect()}
+    rows_single = set()
+    for s in specs:
+        rows_single |= {tuple(r) for r in classify_documents(docs, s, spec_df).collect()}
+    assert rows_fused == rows_single
+    # one corpus pass for BOTH tasks
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
