@@ -387,9 +387,19 @@ class PromptEncodingSpec:
 
     Count predictor runs off the [P] embedding; count-embed produces
     per-instance label projections (ref GLiNER2SpanPipeline.swift:63-147).
-    ``weights_dir``: optional PromptHeads.save() directory — trained
-    weights load via the manifest's raw-tensor contract (S3); default is
-    seeded weights."""
+
+    Weight shipping, in precedence order:
+      * ``weights_broadcast`` — a ``sc.broadcast(PromptHeads)`` handle:
+        the driver loads/builds the heads ONCE and Spark's broadcast
+        machinery caches the deserialized bundle per executor — the
+        "broadcast model weights per executor" deployment shape. The
+        handle pickles inside this frozen spec like any broadcast in a
+        closure.
+      * ``weights_dir`` — a PromptHeads.save() directory read per worker
+        (ship files via spark-submit --files + the manifest's
+        resolve_for_executors).
+      * neither — deterministic seeded weights (no checkpoints in this
+        container)."""
 
     dim: int = 64
     lstm_hidden: int = 32
@@ -400,6 +410,7 @@ class PromptEncodingSpec:
     max_count: int = 20
     max_seq_len: int = 512
     weights_dir: str = ""
+    weights_broadcast: object = None
 
     def build(self) -> "PromptEncodingBackend":
         return PromptEncodingBackend(self)
@@ -436,7 +447,11 @@ class PromptEncodingBackend:
         for i, tok in enumerate(self.SPECIALS):
             self.special_ids[tok] = base + i
             self.tokenizer.register_special_token(tok, base + i)
-        if spec.weights_dir:
+        if spec.weights_broadcast is not None:
+            # .value is executor-cached by Spark's broadcast machinery:
+            # one deserialization per worker, shared across tasks
+            self.heads = spec.weights_broadcast.value
+        elif spec.weights_dir:
             self.heads = PromptHeads.load(spec.weights_dir)
         else:
             self.heads = PromptHeads.seeded(

@@ -248,3 +248,27 @@ def test_prompt_backend_classifier_head(backend):
     assert np.array_equal(a, again)
     other = backend.classify_logits(text, spans, ["finance", "tech"])
     assert a[0] != other[0]
+
+
+def test_broadcast_weights_match_seeded(spark):
+    # "broadcast model weights per executor": the driver builds the head
+    # bundle once, sc.broadcast ships it, every extraction task reuses
+    # the executor-cached value — results identical to local seeded
+    # construction of the same weights
+    from glinerswift_spark.operators.extract import extract_entities
+
+    heads = PromptHeads.seeded(64, 32, 64, key="promptheads:42")
+    bc = spark.sparkContext.broadcast(heads)
+    docs = spark.createDataFrame(
+        [(0, "john smith works at apple inc"),
+         (1, "plain text with no entities of note")],
+        "doc_id long, text string",
+    )
+    via_broadcast = extract_entities(
+        docs, LABELS, PromptEncodingSpec(weights_broadcast=bc), threshold=0.05
+    ).collect()
+    seeded = extract_entities(
+        docs, LABELS, PromptEncodingSpec(), threshold=0.05
+    ).collect()
+    assert sorted(map(tuple, via_broadcast)) == sorted(map(tuple, seeded))
+    assert via_broadcast
