@@ -98,3 +98,50 @@ def test_shift_entities():
     a = Entity("x", "l", 0.5, 3, 4)
     (s,) = shift_entities([a], 100)
     assert (s.start, s.end) == (103, 104)
+
+
+def test_label_groups_single_group_equals_flat():
+    # one group spanning every label must be EXACTLY flat NMS
+    from glinerswift_spark.scoring.backends import GazetteerSpec
+    from glinerswift_spark.scoring.pipeline import extract_document
+
+    lex = {("alpha", "a"): 0.9, ("beta", "b"): 0.8, ("alpha beta", "c"): 0.85}
+    backend = GazetteerSpec.from_dict(lex).build()
+    text = "alpha beta gamma alpha beta"
+    labels = ["a", "b", "c"]
+    flat = extract_document(text, labels, backend, threshold=0.5)
+    grouped = extract_document(
+        text, labels, backend, threshold=0.5, label_groups=[7, 7, 7]
+    )
+    assert [(e.text, e.label, e.score, e.start, e.end) for e in flat] == [
+        (e.text, e.label, e.score, e.start, e.end) for e in grouped
+    ]
+
+
+def test_label_groups_isolate_tasks():
+    # cross-group overlap must NOT suppress: the phrase (group 1) loses
+    # to the higher-scoring word under flat NMS but survives per-group
+    from glinerswift_spark.scoring.backends import GazetteerSpec
+    from glinerswift_spark.scoring.pipeline import extract_document
+
+    lex = {("alpha", "word"): 0.9, ("alpha beta", "phrase"): 0.8}
+    backend = GazetteerSpec.from_dict(lex).build()
+    text = "alpha beta"
+    labels = ["word", "phrase"]
+    flat = extract_document(text, labels, backend, threshold=0.5)
+    assert [e.label for e in flat] == ["word"]  # phrase suppressed
+    grouped = extract_document(
+        text, labels, backend, threshold=0.5, label_groups=[0, 1]
+    )
+    assert sorted(e.label for e in grouped) == ["phrase", "word"]
+
+
+def test_label_groups_mismatched_length_raises():
+    import pytest as _pytest
+
+    from glinerswift_spark.scoring.backends import GazetteerSpec
+    from glinerswift_spark.scoring.pipeline import extract_document
+
+    backend = GazetteerSpec.from_dict({("x", "a"): 0.9}).build()
+    with _pytest.raises(ValueError, match="label_groups"):
+        extract_document("x", ["a", "b"], backend, label_groups=[0])
