@@ -468,6 +468,48 @@ def _q_structure_instances(spark, sf_dir):
     )
 
 
+def _run_flagship_schema(spark, sf_dir):
+    """Single-pass multi-task run with DELIBERATELY overlapping
+    vocabulary: the entity task (operator/object labels) and the
+    structure fields ((term, term) labels) match the SAME word spans, so
+    every match is a cross-task span collision. Per-task NMS groups keep
+    both tasks' outputs identical to standalone runs — flat NMS across
+    the fused label pool would drop one side of every collision and the
+    exact oracles below would fail."""
+    from glinerswift_spark.plans.schema_runner import run_schema
+    from glinerswift_spark.schema import RegexValidator, Schema
+    from glinerswift_spark.scoring.backends import GazetteerSpec
+
+    lex = dict(flagship_gazetteer().entries)
+    lex.update({(t, t): term_score(t) for t in OPERATOR_TERMS + OBJECT_TERMS})
+    schema = (
+        Schema()
+        .entities(FLAGSHIP_LABELS)
+        .structure("pipeline")
+        .field("ops", dtype="list", choices=list(OPERATOR_TERMS))
+        .field(
+            "obj", dtype="str", choices=list(OBJECT_TERMS),
+            validators=[RegexValidator("table|row|key", mode="full")],
+        )
+    )
+    return run_schema(
+        _docs(spark, sf_dir), schema, GazetteerSpec.from_dict(lex),
+        threshold=THRESHOLD,
+    )
+
+
+def _q_schema_entities(spark, sf_dir):
+    out = _run_flagship_schema(spark, sf_dir)
+    return out["entities"].select(
+        "doc_id", "label", "entity",
+        F.round("score", 4).alias("score"), "start", "end",
+    )
+
+
+def _q_schema_structures(spark, sf_dir):
+    return _run_flagship_schema(spark, sf_dir)["structures"]
+
+
 def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -649,6 +691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "structure_fields": _q_structure_fields,
         "structure_instances": _q_structure_instances,
+        "schema_entities": _q_schema_entities,
+        "schema_structures": _q_schema_structures,
         "kg_entities_chunked": _q_kg_entities_chunked,
         "pages_entities": _q_pages_entities,
         "classify_gazetteer": _q_classify_gazetteer,
@@ -1062,6 +1106,33 @@ ops AS (
 obj AS (
     SELECT DISTINCT doc_id, 'obj' AS field, term AS "value"
     FROM ent2 WHERE regexp_matches(term, '^(?:(?i)table|row|key)$')
+)
+SELECT doc_id, 'pipeline' AS structure, field, "value"
+FROM (SELECT * FROM ops UNION ALL SELECT * FROM obj)"""
+
+    # multi-task single-pass run: entity rows must equal the STANDALONE
+    # entity replay despite every span also matching a structure-field
+    # label in the same fused pass (per-task NMS group isolation)
+    sql["schema_entities"] = f"""WITH {_ENT_CTE}
+SELECT doc_id, label, entity, score,
+       ent_start AS "start", ent_end AS "end"
+FROM ent"""
+
+    sql["schema_structures"] = f"""WITH
+__words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+__tok AS (
+    SELECT doc_id, i, w[i] AS term
+    FROM __words, unnest(generate_series(1, len(w))) AS t(i)
+),
+ops AS (
+    SELECT doc_id, 'ops' AS field,
+           array_to_string(list(term ORDER BY i), '|') AS "value"
+    FROM __tok WHERE term IN ({ops_in})
+    GROUP BY doc_id, term
+),
+obj AS (
+    SELECT DISTINCT doc_id, 'obj' AS field, term AS "value"
+    FROM __tok WHERE regexp_matches(term, '^(?:(?i)table|row|key)$')
 )
 SELECT doc_id, 'pipeline' AS structure, field, "value"
 FROM (SELECT * FROM ops UNION ALL SELECT * FROM obj)"""
