@@ -1,10 +1,17 @@
 """[NORTH-RULE, no ref] connected components via iterative DataFrame joins.
 
-Hash-min propagation: every node starts with component = own id; each
-round, component(v) = min(component(v), min over neighbors component(u));
-iterate until a round changes nothing. Equivalent to the large-star
-contraction on undirected edge sets; converges in O(diameter) rounds
-(near-dup clusters are tiny — diameter 2-3 — so 3-4 rounds in practice).
+Hash-min propagation with POINTER JUMPING: every node starts with
+component = own id; each round,
+  component(v) = min(component(v),
+                     min over neighbors component(u),      # hash-min
+                     component(component(v)))              # label-of-label
+The label-of-label join halves the remaining distance to each
+component's minimum every round (path doubling), so convergence is
+O(log diameter) instead of O(diameter) — a 10^6-hop duplicate chain
+resolves in ~20 rounds. Near-dup clusters are usually tiny (diameter
+2-3, so 2-3 rounds either way); the doubling term is what makes the
+default max_iterations=20 budget safe for adversarial chain-shaped
+graphs at web scale.
 
 Scale hygiene per the north rule:
   * edges are symmetrized once, then every round is one shuffle
@@ -62,16 +69,31 @@ def connected_components(
             .groupBy(sym["a"].alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # pointer jumping: my component's CURRENT component (the labels
+        # relation joined to itself on component = node). The component
+        # id is always an existing node id, so the inner join is total.
+        grand = labels.select(
+            F.col("node").alias("__c"), F.col("component").alias("grand_min")
+        )
         updated = (
             labels.join(neighbor_min, "node", "left")
+            .join(grand, labels["component"] == grand["__c"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                    F.coalesce(F.col("grand_min"), F.col("component")),
                 ).alias("component"),
                 (
-                    F.coalesce(F.col("nbr_min"), F.col("component"))
-                    < F.col("component")
+                    (
+                        F.coalesce(F.col("nbr_min"), F.col("component"))
+                        < F.col("component")
+                    )
+                    | (
+                        F.coalesce(F.col("grand_min"), F.col("component"))
+                        < F.col("component")
+                    )
                 ).alias("__changed"),
             )
         )

@@ -195,3 +195,36 @@ def test_checkpoint_resume_idempotent(spark, docs, tmp_path):
     key = lambda r: r.doc_id
     assert sorted(map(key, out1)) == sorted(map(key, out2))
     assert len(out1) == 40
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    # a 200-hop path needs ~200 hash-min rounds but only O(log n) with
+    # the label-of-label doubling term — must converge well inside the
+    # default budget
+    from glinerswift_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    got = connected_components(edges, max_iterations=12).collect()
+    assert len(got) == 201
+    assert {r.component for r in got} == {0}
+
+
+def test_connected_components_exhaustion_raises(spark):
+    import pytest as _pytest
+
+    from glinerswift_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=2)
+    # warn mode returns partial labels instead
+    import warnings
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components(edges, max_iterations=2, on_exhaustion="warn")
+        assert out.count() == 201
+        assert any("did not converge" in str(x.message) for x in w)
