@@ -34,7 +34,7 @@ from pyspark.sql.types import (
 
 from glinerswift_spark.config import Configuration, DEFAULT_CONFIG
 from glinerswift_spark.scoring.backends import get_backend
-from glinerswift_spark.scoring.pipeline import extract_document
+from glinerswift_spark.scoring.pipeline import extract_document, extract_documents_batch
 
 ENTITY_FIELDS = [
     StructField("label", StringType()),
@@ -76,11 +76,11 @@ def extract_entities(
             rows: dict[str, list] = {c: [] for c in out_cols}
             texts = pdf[text_col]
             ids = {c: pdf[c] for c in id_cols}
-            for i in range(len(pdf)):
-                ents = extract_document(
-                    texts.iat[i], labels, backend, threshold=threshold,
-                    config=config, label_groups=label_groups,
-                )
+            ents_per_doc = extract_documents_batch(
+                texts.tolist(), labels, backend, threshold=threshold,
+                config=config, label_groups=label_groups,
+            )
+            for i, ents in enumerate(ents_per_doc):
                 for e in ents:
                     for c in id_cols:
                         rows[c].append(ids[c].iat[i])

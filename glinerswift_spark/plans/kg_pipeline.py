@@ -37,7 +37,7 @@ from glinerswift_spark.operators.relations import (
     entities_to_triples,
 )
 from glinerswift_spark.scoring.backends import get_backend
-from glinerswift_spark.scoring.pipeline import extract_document
+from glinerswift_spark.scoring.pipeline import extract_document, extract_documents_batch
 
 
 def triple_output_schema(df: DataFrame, doc_col: str) -> StructType:
@@ -93,10 +93,14 @@ def extract_triples_fused(
             obj_c: list[int] = []
             scores: list[float] = []
             counts = np.zeros(len(pdf), dtype=np.int64)
-            for i in range(len(pdf)):
-                ents = extract_document(
-                    texts.iat[i], labels, backend, threshold=threshold, config=config
-                )
+            # cross-document batched scoring when the backend supports it
+            # (neural path: one BiLSTM/FFN batch pass per 64 docs);
+            # falls back to per-doc extract_document otherwise
+            ents_per_doc = extract_documents_batch(
+                texts.tolist(), labels, backend, threshold=threshold,
+                config=config,
+            )
+            for i, ents in enumerate(ents_per_doc):
                 counts[i] = emit_triples_coded(
                     ents, tmap, window, surf_code, subj_c, pred_c, obj_c, scores
                 )

@@ -364,6 +364,39 @@ class NeuralStubBackend:
             logits[max(n - w, 0) :, w, :] = NEG_INF
         return logits
 
+    def score_documents(
+        self, texts: list, spans_list: list, labels: list
+    ) -> list:
+        """Batched scoring: one BiLSTM/FFN batch pass across documents —
+        the per-timestep GEMMs run once for the whole batch instead of
+        once per document. Same numerics as score_document per doc
+        (float round-off only; pinned by test)."""
+        from glinerswift_spark.config import DEFAULT_CONFIG
+
+        max_w = DEFAULT_CONFIG.max_span_width
+        n_lb = len(labels)
+        lab = self._labels(labels) if n_lb else None
+        word_mats = []
+        for text, spans in zip(texts, spans_list):
+            if spans and n_lb:
+                word_mats.append(
+                    np.stack([self._word(text[s:e]) for s, e in spans])
+                )
+            else:
+                word_mats.append(np.zeros((0, self.spec.dim)))
+        reps = self.head.batch(word_mats, max_w)
+        out = []
+        for spans, span_rep in zip(spans_list, reps):
+            n = len(spans)
+            if n == 0 or n_lb == 0:
+                out.append(np.full((n, max_w, n_lb), NEG_INF))
+                continue
+            logits = span_rep @ lab.T * self.spec.scale + self.spec.bias
+            for w in range(1, max_w):
+                logits[max(n - w, 0):, w, :] = NEG_INF
+            out.append(logits)
+        return out
+
     def count_logits(self, text: str, structure_name: str) -> np.ndarray:
         h = hashlib.md5(
             f"ncount:{self.spec.seed}:{structure_name}:{text[:64]}".encode()

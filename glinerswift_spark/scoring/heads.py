@@ -212,6 +212,58 @@ class BiLSTM:
         bwd = self._run(self.bwd, xs, reverse=True)
         return np.concatenate([f, bwd], axis=1)
 
+    def _run_batch_fwd(self, weights, X: np.ndarray, T: int) -> np.ndarray:
+        """Forward-direction recurrence over a padded batch [B, T, in].
+        Rows shorter than T compute garbage past their length — callers
+        slice per-row outputs to the true length, so it is never read."""
+        w_ih, w_hh, b = weights
+        H = self.hidden
+        B = X.shape[0]
+        pre = X @ w_ih.T + b            # [B, T, 4H] — one big GEMM
+        w_hh_t = w_hh.T
+        out = np.empty((B, T, H))
+        h = np.zeros((B, H))
+        c = np.zeros((B, H))
+        for t in range(T):
+            gates = pre[:, t] + h @ w_hh_t       # [B, 4H]
+            act = sigmoid(gates)
+            g = np.tanh(gates[:, 2 * H : 3 * H])
+            c = act[:, H : 2 * H] * c + act[:, 0:H] * g
+            h = act[:, 3 * H : 4 * H] * np.tanh(c)
+            out[:, t] = h
+        return out
+
+    def run_batch(self, seqs: list) -> list:
+        """Batched equivalent of calling the BiLSTM per sequence: the
+        per-timestep h @ w_hh GEMM runs once for the whole batch instead
+        of once per document — the per-call numpy overhead on tiny
+        single-doc matrices is THE single-core cost of this head.
+        Backward direction reuses the forward loop over per-row
+        length-aware reversed sequences (state starts at each row's own
+        last real token), so semantics match the per-doc path exactly;
+        values agree to float round-off (batched GEMM kernels)."""
+        seqs = [np.asarray(s) for s in seqs]
+        lens = [s.shape[0] for s in seqs]
+        width = self.hidden * (2 if self.bwd else 1)
+        if not seqs or max(lens, default=0) == 0:
+            return [np.zeros((0, width)) for _ in seqs]
+        B, T = len(seqs), max(lens)
+        D = seqs[0].shape[1] if seqs[0].ndim == 2 else self.fwd[0].shape[1]
+        X = np.zeros((B, T, D))
+        for i, s in enumerate(seqs):
+            X[i, : lens[i]] = s
+        f = self._run_batch_fwd(self.fwd, X, T)
+        if self.bwd is None:
+            return [f[i, : lens[i]] for i in range(B)]
+        Xr = np.zeros_like(X)
+        for i, s in enumerate(seqs):
+            Xr[i, : lens[i]] = s[::-1]
+        br = self._run_batch_fwd(self.bwd, Xr, T)
+        return [
+            np.concatenate([f[i, : lens[i]], br[i, : lens[i]][::-1]], axis=1)
+            for i in range(B)
+        ]
+
 
 class SpanRepHead:
     """word embeddings -> BiLSTM context -> span rep via FFN([h_start ‖ h_end])."""
@@ -241,6 +293,9 @@ class SpanRepHead:
         if n == 0:
             return out
         h = self.lstm(word_embs)  # [n, 2H]
+        return self._reps_from_context(h, n, max_width, out)
+
+    def _reps_from_context(self, h, n, max_width, out):
         # stack the [h_start ‖ h_end] pairs of EVERY width into one matrix
         # and run the FFN once — one big GEMM instead of 2*max_width small
         # ones (per-call GEMM overhead dominated this head's tail)
@@ -258,6 +313,33 @@ class SpanRepHead:
             out[:m, w, :] = reps[off : off + m]
             off += m
         return out
+
+    def batch(self, word_embs_list: list, max_width: int) -> list:
+        """Batched span reps: one BiLSTM batch pass + ONE FFN GEMM over
+        every document's stacked [h_start ‖ h_end] pairs."""
+        hs = self.lstm.run_batch(word_embs_list)
+        all_pairs = []
+        metas = []  # (n, [widths...])
+        for h in hs:
+            n = h.shape[0]
+            widths = list(range(min(max_width, n)))
+            metas.append((n, widths))
+            for w in widths:
+                all_pairs.append(np.concatenate([h[: n - w], h[w:n]], axis=1))
+        if all_pairs:
+            reps = self.ffn(np.concatenate(all_pairs, axis=0))
+        else:
+            reps = np.zeros((0, self.out_dim))
+        outs = []
+        off = 0
+        for n, widths in metas:
+            out = np.zeros((n, max_width, self.out_dim))
+            for w in widths:
+                m = n - w
+                out[:m, w, :] = reps[off : off + m]
+                off += m
+            outs.append(out)
+        return outs
 
 
 class CountEmbed:

@@ -26,6 +26,40 @@ from glinerswift_spark.scoring.core import (
 )
 
 
+def build_groups(labels: list, label_groups: list | None):
+    """Precomputed (member indices, sub-labels) per task group, stable
+    first-appearance order; None for the single-group (flat) case."""
+    if label_groups is None:
+        return None
+    if len(label_groups) != len(labels):
+        raise ValueError("label_groups must parallel labels")
+    order: list = []
+    for g in label_groups:
+        if g not in order:
+            order.append(g)
+    return [
+        (
+            [i for i, lg in enumerate(label_groups) if lg == g],
+            [labels[i] for i, lg in enumerate(label_groups) if lg == g],
+        )
+        for g in order
+    ]
+
+
+def decode_document_logits(
+    logits, labels, thr, text, spans, groups=None
+) -> list[Entity]:
+    """Dense decode with optional per-task-group NMS (see
+    extract_document)."""
+    if groups is None:
+        return decode_spans(logits, labels, thr, text, spans)
+    out: list[Entity] = []
+    for idxs, sub_labels in groups:
+        out.extend(decode_spans(logits[:, :, idxs], sub_labels, thr, text, spans))
+    out.sort(key=lambda e: (e.start, -e.score))
+    return out
+
+
 def extract_document(
     text: str,
     labels: list[str],
@@ -47,22 +81,7 @@ def extract_document(
     thr = config.threshold if threshold is None else threshold
 
     sparse = getattr(backend, "score_document_sparse", None)
-
-    groups: list[tuple[list[int], list[str]]] | None = None
-    if label_groups is not None:
-        if len(label_groups) != len(labels):
-            raise ValueError("label_groups must parallel labels")
-        order: list[int] = []
-        for g in label_groups:
-            if g not in order:
-                order.append(g)
-        groups = [
-            (
-                [i for i, lg in enumerate(label_groups) if lg == g],
-                [labels[i] for i, lg in enumerate(label_groups) if lg == g],
-            )
-            for g in order
-        ]
+    groups = build_groups(labels, label_groups)
 
     def run(piece: str, spans: list | None = None) -> list[Entity]:
         if spans is None:
@@ -87,15 +106,7 @@ def extract_document(
             out.sort(key=lambda e: (e.start, -e.score))
             return out
         logits = backend.score_document(piece, spans, labels)
-        if groups is None:
-            return decode_spans(logits, labels, thr, piece, spans)
-        out = []
-        for idxs, sub_labels in groups:
-            out.extend(
-                decode_spans(logits[:, :, idxs], sub_labels, thr, piece, spans)
-            )
-        out.sort(key=lambda e: (e.start, -e.score))
-        return out
+        return decode_document_logits(logits, labels, thr, piece, spans, groups)
 
     # one regex pass decides chunking AND feeds the short-doc fast path
     # (should_chunk == word count > max, same WORD_RE as word_spans)
@@ -113,3 +124,62 @@ def extract_document(
         return run(text, spans_full)
     per_chunk = [shift_entities(run(c.text), c.start) for c in chunks]
     return merge_chunk_entities(per_chunk)
+
+
+def extract_documents_batch(
+    texts: list,
+    labels: list[str],
+    backend,
+    threshold: float | None = None,
+    config: Configuration = DEFAULT_CONFIG,
+    label_groups: list[int] | None = None,
+    batch_size: int = 64,
+) -> list[list[Entity]]:
+    """Batched variant of calling extract_document per text: short
+    (unchunked) documents score in cross-document batches through the
+    backend's ``score_documents`` (one BiLSTM/FFN batch pass instead of
+    per-doc calls — the per-call GEMM overhead on tiny matrices is the
+    neural path's single-core cost); long documents fall back to the
+    per-document chunked path. Output is parallel to ``texts``. Backends
+    without ``score_documents`` just loop extract_document."""
+    thr = config.threshold if threshold is None else threshold
+    score_batch = getattr(backend, "score_documents", None)
+    if score_batch is None or not labels:
+        return [
+            extract_document(t, labels, backend, threshold, config, label_groups)
+            for t in texts
+        ]
+    groups = build_groups(labels, label_groups)
+
+    out: list = [None] * len(texts)
+    pending: list = []  # (row index, text, spans)
+
+    def flush():
+        if not pending:
+            return
+        logits_list = score_batch(
+            [p[1] for p in pending], [p[2] for p in pending], labels
+        )
+        for (i, text, spans), logits in zip(pending, logits_list):
+            out[i] = decode_document_logits(
+                logits, labels, thr, text, spans, groups
+            )
+        pending.clear()
+
+    for i, text in enumerate(texts):
+        if not text:
+            out[i] = []
+            continue
+        spans = word_spans(text)
+        if not spans:
+            out[i] = []
+        elif len(spans) <= config.chunk_max_words:
+            pending.append((i, text, spans))
+            if len(pending) >= batch_size:
+                flush()
+        else:
+            out[i] = extract_document(
+                text, labels, backend, threshold, config, label_groups
+            )
+    flush()
+    return out

@@ -110,3 +110,49 @@ def test_neural_stub_backend_end_to_end():
     for i, a in enumerate(ents1):
         for c in ents1[i + 1 :]:
             assert a.end <= c.start or c.end <= a.start
+
+
+def test_bilstm_run_batch_matches_per_sequence():
+    import numpy as np
+
+    from glinerswift_spark.scoring.heads import BiLSTM
+
+    lstm = BiLSTM.seeded(16, 8, "batchtest")
+    rng = np.random.default_rng(3)
+    seqs = [rng.standard_normal((n, 16)) for n in (5, 1, 9, 3)]
+    batched = lstm.run_batch(seqs)
+    for s, got in zip(seqs, batched):
+        want = lstm(s)
+        assert got.shape == want.shape
+        assert np.allclose(got, want, atol=1e-9)
+    # empty batch and zero-length sequence
+    assert lstm.run_batch([])== []
+    z = lstm.run_batch([np.zeros((0, 16))])
+    assert z[0].shape == (0, 16)
+
+
+def test_extract_documents_batch_matches_per_doc():
+    from glinerswift_spark.scoring.backends import NeuralStubSpec
+    from glinerswift_spark.scoring.pipeline import (
+        extract_document,
+        extract_documents_batch,
+    )
+
+    b = NeuralStubSpec().build()
+    labels = ["operator", "object"]
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "",
+        "one",
+        " ".join(f"w{i}" for i in range(300)),  # forces the chunked path
+        "short tail doc",
+    ]
+    per = [extract_document(t, labels, b, threshold=0.3) for t in texts]
+    bat = extract_documents_batch(texts, labels, b, threshold=0.3, batch_size=2)
+    assert len(per) == len(bat)
+    for p, q in zip(per, bat):
+        assert [(e.text, e.label, e.start, e.end) for e in p] == [
+            (e.text, e.label, e.start, e.end) for e in q
+        ]
+        for e1, e2 in zip(p, q):
+            assert abs(e1.score - e2.score) < 1e-9
