@@ -468,6 +468,27 @@ def _q_structure_instances(spark, sf_dir):
     )
 
 
+def _q_source_share(spark, sf_dir):
+    """Mega-domain skew pattern at the driver contract: documents join a
+    per-source dimension via salted_join (dimension replicated per salt,
+    big side salted deterministically — a hot source spreads over 8
+    reducers) and each document gets its exact integer parts-per-million
+    share of its source's characters. Result provably identical to the
+    plain join: the oracle replays it as a window sum."""
+    from glinerswift_spark.operators.skew import salted_join
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    dim = docs.groupBy("source").agg(
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars")
+    )
+    joined = salted_join(docs, dim, ["source"], salt_buckets=8)
+    return joined.select(
+        "doc_id",
+        "source",
+        F.expr("(n_chars * 1000000L) div total_chars").alias("share_ppm"),
+    )
+
+
 def _run_flagship_schema(spark, sf_dir):
     """Single-pass multi-task run with DELIBERATELY overlapping
     vocabulary: the entity task (operator/object labels) and the
@@ -693,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structure_instances": _q_structure_instances,
         "schema_entities": _q_schema_entities,
         "schema_structures": _q_schema_structures,
+        "source_share": _q_source_share,
         "kg_entities_chunked": _q_kg_entities_chunked,
         "pages_entities": _q_pages_entities,
         "classify_gazetteer": _q_classify_gazetteer,
@@ -1109,6 +1131,12 @@ obj AS (
 )
 SELECT doc_id, 'pipeline' AS structure, field, "value"
 FROM (SELECT * FROM ops UNION ALL SELECT * FROM obj)"""
+
+    sql["source_share"] = """
+SELECT doc_id, source,
+       CAST(n_chars * 1000000 // (CAST(sum(n_chars) OVER (PARTITION BY source)
+                                  AS BIGINT)) AS BIGINT) AS share_ppm
+FROM documents"""
 
     # multi-task single-pass run: entity rows must equal the STANDALONE
     # entity replay despite every span also matching a structure-field

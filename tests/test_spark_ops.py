@@ -228,3 +228,30 @@ def test_connected_components_exhaustion_raises(spark):
         out = connected_components(edges, max_iterations=2, on_exhaustion="warn")
         assert out.count() == 201
         assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_salted_join_equals_plain_join_on_hot_key(spark):
+    from glinerswift_spark.operators.skew import salted_join
+
+    # 95% of rows share one key — the mega-domain shape
+    rows = [(i, "hot.com" if i % 20 else f"site{i}.com", i * 3) for i in range(400)]
+    big = spark.createDataFrame(rows, "row_id long, domain string, v long")
+    small = big.groupBy("domain").count().withColumnRenamed("count", "n")
+    got = salted_join(big, small, ["domain"], salt_buckets=8)
+    plain = big.join(small, "domain")
+    key = lambda r: (r.row_id, r.domain, r.v, r.n)
+    assert sorted(map(key, got.collect())) == sorted(map(key, plain.collect()))
+    # the hot key's rows really spread across salts
+    from pyspark.sql import functions as F
+
+    salts = (
+        big.where(F.col("domain") == "hot.com")
+        .select(F.pmod(F.xxhash64("row_id", "domain", "v"), F.lit(8)).alias("s"))
+        .groupBy("s").count().collect()
+    )
+    assert len(salts) == 8
+    # left join keeps unmatched big rows exactly once
+    part = small.where(F.col("domain") != "hot.com")
+    left = salted_join(big, part, ["domain"], salt_buckets=4, how="left")
+    assert left.count() == 400
+    assert left.where(F.col("n").isNull()).count() == 380
