@@ -69,9 +69,25 @@ SESSION_OUTPUT_DDL = (
 _SESSION_STATE_DDL = "start long, end long, n long, s double"
 
 
-def _session_fn(gap_us: int):
+def _session_fn(gap_us: int, flush_on_timeout: bool = False):
     def fn(key, pdfs, state):
         user_id = key[0]
+        if flush_on_timeout and state.hasTimedOut:
+            # the watermark passed this user's session-end + gap with no
+            # new events: the open session can never be extended — flush
+            # it and clear the state (idle keys hold ZERO state after
+            # this, the bounded-state property at web scale)
+            start_us, end_us, n, s = state.get
+            state.remove()
+            out = pd.DataFrame(
+                [(user_id, start_us, end_us, n, s)],
+                columns=["user_id", "session_start", "session_end",
+                         "n_events", "sum_value"],
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            yield out
+            return
         if state.exists:
             start_us, end_us, n, s = state.get
         else:
@@ -101,6 +117,14 @@ def _session_fn(gap_us: int):
             n += 1
             s += float(v)
         state.update((start_us, end_us, n, s))
+        if flush_on_timeout and n > 0:
+            # fire once the watermark proves no event can extend this
+            # session (event-time timeouts take epoch MILLISECONDS);
+            # clamp to watermark+1 — a session already past the
+            # watermark (late-zone data) expires on the next batch
+            ts_ms = end_us // 1000 + gap_us // 1000
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(ts_ms, wm + 1))
         if closed:
             out = pd.DataFrame(
                 closed,
@@ -118,11 +142,16 @@ def sessionize_stream(
     events: DataFrame,
     gap_minutes: int = 30,
     watermark: str = "1 hour",
+    flush_on_timeout: bool = False,
 ) -> DataFrame:
     """Gap-based sessionization with explicit per-user state
     (applyInPandasWithState). Emits a session row when a later event of
     the same user arrives more than ``gap_minutes`` after the session's
-    last event; the still-open session stays in state."""
+    last event; the still-open session stays in state. With
+    ``flush_on_timeout``, an EVENT-TIME timeout also emits the open
+    session once the watermark passes session_end + gap (no event can
+    extend it anymore) and clears the key's state — idle users hold
+    zero state."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -130,10 +159,14 @@ def sessionize_stream(
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _session_fn(gap_minutes * 60 * 1_000_000),
+            _session_fn(gap_minutes * 60 * 1_000_000, flush_on_timeout),
             outputStructType=SESSION_OUTPUT_DDL,
             stateStructType=_SESSION_STATE_DDL,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if flush_on_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

@@ -98,3 +98,68 @@ def test_sessionize_stream_closed_sessions_match_batch(spark, events_dir):
     }
     assert got == want
     assert got, "no closed sessions emitted — gap threshold never fired"
+
+
+def test_sessionize_timeout_flushes_idle_sessions(spark, tmp_path):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from glinerswift_spark.streaming.stateful import sessionize_stream
+
+    # file 1: real users' events; file 2: a single sentinel event 3 days
+    # later — its watermark proves every earlier open session can never
+    # be extended, so the event-time timeout must flush ALL of them
+    d = tmp_path / "in"
+    d.mkdir()
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events.orderBy("ts", "event_id").coalesce(1).write.mode("overwrite").parquet(
+        str(d / "f1.parquet")
+    )
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(10_000_000, 999_999, max_ts, "tick", 0.0, "{}")],
+        "event_id long, user_id long, ts timestamp_ntz, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 3 DAYS"))
+    sentinel.coalesce(1).write.mode("overwrite").parquet(str(d / "f2.parquet"))
+    # register both files under one dir for the file stream
+    import shutil, glob, os
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    shutil.copy(glob.glob(str(d / "f1.parquet" / "part-*"))[0], stream_dir / "a.parquet")
+    shutil.copy(glob.glob(str(d / "f2.parquet" / "part-*"))[0], stream_dir / "b.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp_ntz, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30, flush_on_timeout=True)
+        .writeStream.format("memory").queryName("sess_flush")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from sess_flush")
+    n_users = events.select("user_id").distinct().count()
+    # every session of every real user is now emitted (closed by gap OR
+    # flushed by timeout); total must equal the batch session count
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gap = ms - F.lag(ms).over(w)
+    total_sessions = (
+        events.withColumn(
+            "s",
+            F.sum(F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "s").count().count()
+    )
+    got_real = got.where(F.col("user_id") != 999_999)
+    assert got_real.count() == total_sessions
+    assert got_real.select("user_id").distinct().count() == n_users
