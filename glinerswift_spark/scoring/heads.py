@@ -295,18 +295,30 @@ class SpanRepHead:
         h = self.lstm(word_embs)  # [n, 2H]
         return self._reps_from_context(h, n, max_width, out)
 
+    def _pre_activations(self, h: np.ndarray, n: int, max_width: int) -> np.ndarray:
+        """fc1 pre-activations for every (start, width) pair WITHOUT
+        materializing the [pairs, 4H] matrix: fc1's weight splits as
+        W1 [h_s ‖ h_e] = W1a h_s + W1b h_e, so project h through each
+        half ONCE ([n, 2H] GEMMs) and ADD shifted views per width —
+        ~8x fewer fc1 FLOPs than the pair-stacked GEMM at max_width 8
+        (identical math; float summation order differs by round-off)."""
+        halves = getattr(self, "_fc1_halves", None)
+        if halves is None:
+            W1 = self.ffn.lin1.weight
+            half = W1.shape[1] // 2
+            # contiguous transposed halves, computed once per head
+            halves = self._fc1_halves = (
+                np.ascontiguousarray(W1[:, :half].T),
+                np.ascontiguousarray(W1[:, half:].T),
+            )
+        A = h @ halves[0]             # start-side projection  [n, hid]
+        B = h @ halves[1]             # end-side projection    [n, hid]
+        pres = [A[: n - w] + B[w:n] for w in range(min(max_width, n))]
+        return np.concatenate(pres, axis=0) + self.ffn.lin1.bias
+
     def _reps_from_context(self, h, n, max_width, out):
-        # stack the [h_start ‖ h_end] pairs of EVERY width into one matrix
-        # and run the FFN once — one big GEMM instead of 2*max_width small
-        # ones (per-call GEMM overhead dominated this head's tail)
-        pairs = np.concatenate(
-            [
-                np.concatenate([h[: n - w], h[w:n]], axis=1)
-                for w in range(min(max_width, n))
-            ],
-            axis=0,
-        )  # [sum_w (n-w), 4H]
-        reps = self.ffn(pairs)
+        pre = self._pre_activations(h, n, max_width)
+        reps = self.ffn.lin2(np.maximum(pre, 0.0))
         off = 0
         for w in range(min(max_width, n)):
             m = n - w
@@ -315,26 +327,27 @@ class SpanRepHead:
         return out
 
     def batch(self, word_embs_list: list, max_width: int) -> list:
-        """Batched span reps: one BiLSTM batch pass + ONE FFN GEMM over
-        every document's stacked [h_start ‖ h_end] pairs."""
+        """Batched span reps: one BiLSTM batch pass, factored fc1
+        projections per document, ONE fc2 GEMM over every document's
+        stacked pre-activations."""
         hs = self.lstm.run_batch(word_embs_list)
-        all_pairs = []
-        metas = []  # (n, [widths...])
+        pres = []
+        metas = []  # (n, n_widths)
         for h in hs:
             n = h.shape[0]
-            widths = list(range(min(max_width, n)))
-            metas.append((n, widths))
-            for w in widths:
-                all_pairs.append(np.concatenate([h[: n - w], h[w:n]], axis=1))
-        if all_pairs:
-            reps = self.ffn(np.concatenate(all_pairs, axis=0))
+            n_widths = min(max_width, n)
+            metas.append((n, n_widths))
+            if n:
+                pres.append(self._pre_activations(h, n, max_width))
+        if pres:
+            reps = self.ffn.lin2(np.maximum(np.concatenate(pres, axis=0), 0.0))
         else:
             reps = np.zeros((0, self.out_dim))
         outs = []
         off = 0
-        for n, widths in metas:
+        for n, n_widths in metas:
             out = np.zeros((n, max_width, self.out_dim))
-            for w in widths:
+            for w in range(n_widths):
                 m = n - w
                 out[:m, w, :] = reps[off : off + m]
                 off += m
