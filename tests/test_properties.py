@@ -217,3 +217,69 @@ def test_merge_invariants(per_chunk):
                 )
                 for k in merged
             )
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1, max_size=60,
+    ),
+    max_iter=st.integers(3, 25),
+)
+@settings(max_examples=8, deadline=None)
+def test_connected_components_matches_union_find(spark, edges, max_iter):
+    """Pointer-jumping hash-min CC == a plain union-find reference on
+    random graphs (when the iteration budget suffices; else it raises)."""
+    from glinerswift_spark.operators.components import connected_components
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {}
+    nodes = {n for e in edges for n in e}
+    roots = {}
+    for n in sorted(nodes):
+        r = find(n)
+        roots.setdefault(r, n)  # min node per component
+        want[n] = roots[r]
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    try:
+        got = {
+            r.node: r.component
+            for r in connected_components(df, max_iterations=max_iter).collect()
+        }
+    except RuntimeError:
+        return  # budget exhausted: raising loudly is the contract
+    assert got == want
+
+
+@given(
+    st.lists(st.integers(0, (1 << 16) - 1), min_size=0, max_size=24, unique=True),
+    st.integers(0, 6),
+)
+@settings(max_examples=30, deadline=None)
+def test_hamming_band_pigeonhole(fps, max_hamming):
+    """Any pair within max_hamming flips shares >= 1 of the
+    max_hamming+1 bit bands — the invariant simhash_pairs' candidate
+    join relies on (pure-python check of the same band arithmetic)."""
+    n_bands = max_hamming + 1
+    widths = [16 // n_bands] * n_bands
+    for i in range(16 % n_bands):
+        widths[i] += 1
+    los = [sum(widths[:i]) for i in range(n_bands)]
+
+    def bands(x):
+        return [(i, (x >> los[i]) % (1 << widths[i])) for i in range(n_bands)]
+
+    for i, a in enumerate(fps):
+        for b in fps[i + 1:]:
+            if bin(a ^ b).count("1") <= max_hamming:
+                assert set(bands(a)) & set(bands(b)), (a, b, max_hamming)
