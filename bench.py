@@ -22,6 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def build_spark(cpus: int):
+    # one BLAS thread per python worker: Spark already runs `cpus`
+    # workers, and numpy's default multi-threaded BLAS would oversubscribe
+    # cpus x cpus threads during GEMMs (set before the JVM launches so
+    # workers inherit it)
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(v, "1")
     from pyspark.sql import SparkSession
 
     return (
