@@ -122,6 +122,14 @@ def encode_schema_input(
             subwords.append(token)
         else:
             ids, toks = tokenizer.tokenize(token)
+            if not ids and segment == SEGMENT_TEXT:
+                # a text word that normalizes to NOTHING (e.g. U+FEFF-only)
+                # must still occupy one position: without a placeholder the
+                # word<->span alignment silently shifts and every later
+                # entity gets the wrong char offsets. (The reference
+                # ERRORS here — GLiNER2SchemaProjector "Missing subword
+                # embeddings"; a web-corpus pipeline degrades to UNK.)
+                ids, toks = [tokenizer.unk.id], [tokenizer.unk.token]
             input_ids.extend(ids)
             subwords.extend(toks)
         n_pieces = len(input_ids) - start

@@ -272,3 +272,35 @@ def test_broadcast_weights_match_seeded(spark):
     ).collect()
     assert sorted(map(tuple, via_broadcast)) == sorted(map(tuple, seeded))
     assert via_broadcast
+
+
+def test_unicode_and_degenerate_words_encode_safely(backend):
+    # non-ASCII words fall to UNK pieces but keep the word-mask
+    # invariants; whitespace-ish words and empties never crash
+    words = ["日本語", "café", "a", "﻿", "💡emoji", "x" * 300]
+    enc = backend.encode(words, ["topic"])
+    # EVERY word occupies exactly one first-subword slot — a word that
+    # normalizes to nothing (U+FEFF) degrades to UNK instead of silently
+    # shifting the word<->span alignment
+    assert len(enc.word_first_subword) == len(words)
+    segs = [s for s, _ in enc.segments]
+    for i in enc.word_first_subword:
+        assert segs[i] == "text"
+    # scoring end-to-end on such a document
+    text = "日本語 café a 💡emoji"
+    spans, off = [], 0
+    for w in text.split(" "):
+        spans.append((off, off + len(w)))
+        off += len(w) + 1
+    logits = backend.score_document(text, spans, ["topic"])
+    assert logits.shape[0] == len(spans)
+    import numpy as np
+
+    assert np.isfinite(logits[:, 0, :]).all()
+
+
+def test_prompt_backend_max_seq_len_guard():
+    spec = PromptEncodingSpec(max_seq_len=32)
+    b = spec.build()
+    with pytest.raises(ValueError, match="maximum length"):
+        b.encode(["word"] * 40, ["label"])
