@@ -319,7 +319,9 @@ def _q_structure_fields(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
-    # rows-only check: approximate ANN (bucketed) has no exact SQL twin
+    # approximate in RECALL, exact in CONSTRUCTION: the seeded
+    # hyperplanes are replayed as SQL double literals, so the oracle
+    # checks the full bucketing + candidate join + top-k verbatim
     from glinerswift_spark.operators.similarity import lsh_bucketed_topk
 
     emb = _emb(spark, sf_dir)
@@ -1420,6 +1422,48 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY 1, 2"""
 
-    # ann_lsh: intentionally omitted -> rows-only check (LSH-bucketed ANN is
-    # approximate by design; the exact brute-force twin is oracled as ann_topk).
+    # ann_lsh: APPROXIMATE in recall, but fully DETERMINISTIC — the
+    # hyperplanes are seeded constants, so the oracle replays the entire
+    # construction: plane literals (repr round-trips doubles exactly in
+    # both engines), sign-bit bucket signatures over the same sequential
+    # dot-product folds, bucket equi-join candidates, rounded-cosine
+    # top-k. Every query in the contract now has an exact oracle.
+    from glinerswift_spark.operators.similarity import _hyperplanes
+
+    plane_rows = []
+    for t in range(2):               # num_tables=2 (matches _q_ann_lsh)
+        for b, p in enumerate(_hyperplanes(6, 64, 42, t)):  # num_bits=6
+            arr = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            plane_rows.append(f"({t}, {b}, {arr}::DOUBLE[])")
+    planes_values = ",\n  ".join(plane_rows)
+    sql["ann_lsh"] = f"""WITH {_COS_CTE},
+planes(tbl, bit, p) AS (VALUES
+  {planes_values}),
+sig AS (
+    SELECT n.vec_id, pl.tbl,
+           CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, len(n.v)),
+                                                      i -> n.v[i] * pl.p[i])) >= 0
+                    THEN 1 << pl.bit ELSE 0 END) AS BIGINT) AS bucket
+    FROM __n n CROSS JOIN planes pl
+    GROUP BY 1, 2
+),
+qs AS (SELECT * FROM sig WHERE vec_id % {ANN_QUERY_MOD} = 0),
+cand AS (
+    SELECT DISTINCT qs.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM qs JOIN sig c ON qs.tbl = c.tbl AND qs.bucket = c.bucket
+    WHERE qs.vec_id != c.vec_id
+),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                         i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos
+    FROM cand JOIN __n a ON cand.query_id = a.vec_id
+              JOIN __n b ON cand.neighbor_id = b.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, cos FROM ranked WHERE rk <= {ANN_K}"""
     return sql
