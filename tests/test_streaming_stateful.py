@@ -116,17 +116,37 @@ def test_sessionize_timeout_flushes_idle_sessions(spark, tmp_path):
         str(d / "f1.parquet")
     )
     max_ts = events.agg(F.max("ts")).collect()[0][0]
-    sentinel = spark.createDataFrame(
-        [(10_000_000, 999_999, max_ts, "tick", 0.0, "{}")],
-        "event_id long, user_id long, ts timestamp_ntz, event_type string, value double, props string",
-    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 3 DAYS"))
-    sentinel.coalesce(1).write.mode("overwrite").parquet(str(d / "f2.parquet"))
-    # register both files under one dir for the file stream
-    import shutil, glob, os
+    # TWO sentinels: the first advances the watermark past every real
+    # session's end+gap; the second guarantees a batch AFTER that
+    # advance, where the event-time timeouts actually fire (a timeout
+    # set in batch N is evaluated from batch N+1 on)
+    for idx, (uid, days) in enumerate([(999_999, 3), (999_998, 6)]):
+        sentinel = spark.createDataFrame(
+            [(10_000_000 + idx, uid, max_ts, "tick", 0.0, "{}")],
+            "event_id long, user_id long, ts timestamp_ntz, event_type string, value double, props string",
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS"))
+        sentinel.coalesce(1).write.mode("overwrite").parquet(
+            str(d / f"f{idx + 2}.parquet")
+        )
+    # one dir for the file stream; PIN modification times so the source
+    # processes files in order (it sorts by modTime — equal stamps made
+    # this test order-dependent)
+    import glob
+    import os
+    import shutil
+    import time as _time
+
     stream_dir = tmp_path / "stream"
     stream_dir.mkdir()
-    shutil.copy(glob.glob(str(d / "f1.parquet" / "part-*"))[0], stream_dir / "a.parquet")
-    shutil.copy(glob.glob(str(d / "f2.parquet" / "part-*"))[0], stream_dir / "b.parquet")
+    now = _time.time()
+    for i, (src, name) in enumerate([
+        ("f1.parquet", "a.parquet"),
+        ("f2.parquet", "b.parquet"),
+        ("f3.parquet", "c.parquet"),
+    ]):
+        dst = stream_dir / name
+        shutil.copy(glob.glob(str(d / src / "part-*"))[0], dst)
+        os.utime(dst, (now - 300 + i * 60, now - 300 + i * 60))
 
     stream = (
         spark.readStream.schema(
@@ -160,6 +180,6 @@ def test_sessionize_timeout_flushes_idle_sessions(spark, tmp_path):
         )
         .groupBy("user_id", "s").count().count()
     )
-    got_real = got.where(F.col("user_id") != 999_999)
+    got_real = got.where(~F.col("user_id").isin(999_999, 999_998))
     assert got_real.count() == total_sessions
     assert got_real.select("user_id").distinct().count() == n_users
