@@ -218,6 +218,26 @@ def main():
     t_total = time.time()
     timings, extras = bench_queries(spark, sf_dir)
     total = round(time.time() - t_total, 3)
+
+    # steady-state pass (ref BenchmarkCLI separates warmup from timing):
+    # the first-run battery above includes every query's cold costs
+    # (worker spin-up, code paths, file cache); re-timing each query in
+    # the now-warm session reports what a long-running job sees. The
+    # headline `value` stays the FIRST-run battery wall time, comparable
+    # across rounds. Disable with SPARK_GRAFT_WARM=0.
+    warm: dict = {}
+    if os.environ.get("SPARK_GRAFT_WARM", "1") != "0":
+        import __spark_entry__ as entrymod
+
+        q = entrymod.queries()
+        alias = {"kg_triples_fused": "kg_triples"}  # bench-internal name
+        for name in timings:
+            qname = alias.get(name, name)
+            if qname not in q:  # stage_split_profile is not a query
+                continue
+            t0 = time.time()
+            q[qname](spark, sf_dir).count()
+            warm[name] = round(time.time() - t0, 3)
     spark.stop()
 
     out = {
@@ -225,6 +245,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_warm": warm,
         "sf": sf,
         "cpus": cpus,
         **extras,
