@@ -98,3 +98,46 @@ def test_gazetteer_scores_sql_recomputable():
     assert term_score("scan") == 0.6 + (4 % 40) / 100.0
     spec = flagship_gazetteer()
     assert all(0 < s < 1 for _, s in spec.entries)
+
+
+def test_randomized_differential_spark_vs_pure_python(spark):
+    """Randomized corpora (seeded): the Spark mapInPandas extraction and
+    the pure-python per-document pipeline must agree exactly — across
+    backends, thresholds, chunking boundaries, and unicode words."""
+    import random
+
+    from glinerswift_spark.operators.extract import extract_entities
+    from glinerswift_spark.scoring.backends import (
+        GazetteerSpec,
+        NeuralStubSpec,
+        get_backend,
+    )
+    from glinerswift_spark.scoring.pipeline import extract_document
+
+    rng = random.Random(20260816)
+    vocab = ["scan", "join", "table", "row", "café", "日本", "alpha",
+             "beta", "x1", "zz", "the", "of"]
+    lex = {("scan", "op"): 0.9, ("join", "op"): 0.8, ("table", "obj"): 0.7,
+           ("scan join", "phrase"): 0.85, ("café", "obj"): 0.75}
+    docs_rows = []
+    for i in range(60):
+        n = rng.choice([0, 1, 3, 12, 80, 300])  # incl. empty + chunked
+        docs_rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(docs_rows, "doc_id long, text string")
+
+    for spec, thr, labels in [
+        (GazetteerSpec.from_dict(lex), 0.5, ["op", "obj", "phrase"]),
+        (NeuralStubSpec(dim=32, lstm_hidden=16, rep_dim=32), 0.35, ["op", "obj"]),
+    ]:
+        got = {}
+        for r in extract_entities(df, labels, spec, threshold=thr).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.label, r.entity, round(r.score, 9), r.start, r.end)
+            )
+        backend = get_backend(spec)
+        for doc_id, text in docs_rows:
+            want = [
+                (e.label, e.text, round(e.score, 9), e.start, e.end)
+                for e in extract_document(text, labels, backend, threshold=thr)
+            ]
+            assert sorted(got.get(doc_id, [])) == sorted(want), (spec, doc_id)
