@@ -191,3 +191,40 @@ def test_classify_multi_matches_per_task(spark):
     # one corpus pass for BOTH tasks
     plan = fused._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
+
+
+def test_run_schema_with_prompt_backend(spark):
+    # the full GLiNER2-shaped stack: prompt/schema encoding -> span +
+    # classifier + count heads, all tasks off run_schema's single fused
+    # extraction pass — deterministic end to end
+    from glinerswift_spark.plans.schema_runner import run_schema
+    from glinerswift_spark.schema import Schema
+    from glinerswift_spark.scoring.backends import PromptEncodingSpec
+
+    docs = spark.createDataFrame(
+        [(0, "john smith works at apple inc"),
+         (1, "plain words without strong signals here")],
+        "doc_id long, text string",
+    )
+    schema = (
+        Schema()
+        .entities(["person", "organization"])
+        .structure("mention").field("who", dtype="list", choices=["person name"])
+        .classification("tone", ["formal", "casual"])
+    )
+
+    def run():
+        out = run_schema(docs, schema, PromptEncodingSpec(), threshold=0.05)
+        return (
+            sorted(map(tuple, out["entities"].collect())),
+            sorted(map(tuple, out["structures"].collect())),
+            sorted(map(tuple, out["classifications"].collect())),
+        )
+
+    e1, s1, c1 = run()
+    e2, s2, c2 = run()
+    assert (e1, s1, c1) == (e2, s2, c2)
+    assert e1, "prompt backend produced no entities at permissive threshold"
+    assert c1 and all(r[1] == "tone" for r in c1)
+    for r in c1:
+        assert 0.0 <= r[3] <= 1.0
