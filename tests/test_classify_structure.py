@@ -228,3 +228,24 @@ def test_run_schema_with_prompt_backend(spark):
     assert c1 and all(r[1] == "tone" for r in c1)
     for r in c1:
         assert 0.0 <= r[3] <= 1.0
+
+
+def test_structure_field_description_as_label(spark):
+    # a field with no choices extracts with its DESCRIPTION as the label
+    # (falling back to the field name) — ref GLiNER2.swift:234-299
+    from glinerswift_spark.operators.classify import extract_structure
+    from glinerswift_spark.schema import FieldSpec
+    from glinerswift_spark.scoring.backends import GazetteerSpec
+
+    lex = {("acme", "company name"): 0.9, ("bob", "person"): 0.8}
+    docs = spark.createDataFrame(
+        [(0, "bob founded acme yesterday")], "doc_id long, text string"
+    )
+    fields = [
+        FieldSpec(name="employer", dtype="str", description="company name"),
+        FieldSpec(name="person", dtype="str"),  # falls back to field name
+    ]
+    rows = {r.field: r.value for r in extract_structure(
+        docs, "job", fields, GazetteerSpec.from_dict(lex), threshold=0.5
+    ).collect()}
+    assert rows == {"employer": "acme", "person": "bob"}

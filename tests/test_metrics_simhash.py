@@ -37,3 +37,41 @@ def test_simhash_identical_and_different(spark):
 
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(df, max_hamming=0).collect()}
     assert pairs == {(1, 2): 0}
+
+
+def test_simhash_banding_equals_bruteforce(spark):
+    """End-to-end: the hamming-band candidate join loses NO qualifying
+    pair vs brute-force hamming over the same fingerprints."""
+    import hashlib
+    import itertools
+    import random
+
+    from glinerswift_spark.operators.dedup import simhash_pairs
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))), "en")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {(r.doc_a, r.doc_b, r.hamming)
+           for r in simhash_pairs(df, max_hamming=3).collect()}
+
+    def sh16(text):
+        words = text.split(" ")
+        vals = [int(hashlib.md5(w.encode()).hexdigest()[:4], 16) for w in words]
+        out = 0
+        for i in range(16):
+            ones = sum((v >> (15 - i)) & 1 for v in vals)
+            if ones * 2 >= len(vals):
+                out |= 1 << i
+        return out
+
+    fps = {doc_id: sh16(text) for doc_id, text, _ in rows}
+    want = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert got == want
