@@ -1,14 +1,22 @@
-"""foreachBatch-compatible wrappers.
+"""Structured Streaming surfaces.
 
-The north rule requires BATCH with resumable per-partition checkpoints
-(operators/checkpoint.py), not Structured Streaming — the reference is a
-synchronous request/response library with no streaming operators
-(SURVEY.md §2.9). Every stage in this package is a pure
-DataFrame -> DataFrame transform, so running the same pipeline over a
-stream is just plumbing; this module provides that plumbing.
+The core pipeline is BATCH with resumable per-partition checkpoints
+(operators/checkpoint.py) — every stage is a pure
+DataFrame -> DataFrame transform, so streaming is plumbing on top:
+
+  * foreach_batch — run the KG stages per micro-batch (exactly-once via
+    the streaming checkpoint + idempotent batch-id dirs);
+  * stateful — watermarked windowed aggregation and
+    applyInPandasWithState gap-sessionization with event-time timeout
+    flushing (bounded per-key state).
 """
 
 from glinerswift_spark.streaming.foreach_batch import (  # noqa: F401
     kg_foreach_batch,
     stream_documents,
+)
+from glinerswift_spark.streaming.stateful import (  # noqa: F401
+    sessionize_stream,
+    stream_events,
+    windowed_event_counts,
 )
