@@ -97,16 +97,18 @@ def decode_spans(
 
     # candidates in enumeration order (start, width, label) — argwhere is
     # row-major so this IS that order; the stable sort below preserves it
-    # for ties, pinning the tie-break total order.
-    kept_probs = sigmoid(logits[keep[:, 0], keep[:, 1], keep[:, 2]])
-    candidates = []
-    for (s, w, li), p in zip(keep.tolist(), kept_probs.tolist()):
-        e = s + w  # inclusive end word
-        if e >= n_words:
-            continue
-        candidates.append((s, e, li, p))
-    if not candidates:
+    # for ties, pinning the tie-break total order. Out-of-document ends
+    # are dropped VECTORIZED before any python-object work.
+    in_doc = keep[:, 0] + keep[:, 1] < n_words
+    keep = keep[in_doc]
+    if keep.size == 0:
         return []
+    kept_probs = sigmoid(logits[keep[:, 0], keep[:, 1], keep[:, 2]])
+    ends = keep[:, 0] + keep[:, 1]
+    candidates = list(
+        zip(keep[:, 0].tolist(), ends.tolist(), keep[:, 2].tolist(),
+            kept_probs.tolist())
+    )
 
     chosen = greedy_select_candidates(candidates)
     out = []
@@ -185,7 +187,17 @@ def greedy_select_candidates(
     sets one bisect neighbor check replaces the scan over all accepted
     spans; small sets keep the cheaper naive loop. Both orders of checks
     produce identical output (fuzz-pinned in tests)."""
-    candidates = sorted(candidates, key=lambda c: -c[3])  # stable
+    if len(candidates) > 512:
+        # numpy stable argsort on -score == the python stable sort below
+        # (ties keep enumeration order) at a fraction of the key-lambda
+        # cost on large candidate sets
+        scores = np.fromiter(
+            (c[3] for c in candidates), dtype=np.float64, count=len(candidates)
+        )
+        order = np.argsort(-scores, kind="stable")
+        candidates = [candidates[i] for i in order.tolist()]
+    else:
+        candidates = sorted(candidates, key=lambda c: -c[3])  # stable
     chosen: list[tuple[int, int, int, float]] = []
     if len(candidates) <= 128:
         for cand in candidates:
