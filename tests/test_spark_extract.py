@@ -141,3 +141,34 @@ def test_randomized_differential_spark_vs_pure_python(spark):
                 for e in extract_document(text, labels, backend, threshold=thr)
             ]
             assert sorted(got.get(doc_id, [])) == sorted(want), (spec, doc_id)
+
+
+def test_adversarial_inputs_long_doc_and_extreme_threshold(spark):
+    from glinerswift_spark.operators.extract import extract_entities
+    from glinerswift_spark.scoring.backends import GazetteerSpec
+
+    lex = {("needle", "x"): 0.9}
+    # 25k-word doc with needles sprinkled at known positions
+    words = ["filler"] * 25_000
+    for pos in (0, 12_345, 24_999):
+        words[pos] = "needle"
+    long_text = " ".join(words)
+    df = spark.createDataFrame(
+        [(0, long_text), (1, None), (2, "   "), (3, "needle")],
+        "doc_id long, text string",
+    )
+    rows = extract_entities(df, ["x"], GazetteerSpec.from_dict(lex),
+                            threshold=0.5).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # chunked doc: offsets must be GLOBAL and slice back to the surface
+    assert {long_text[r.start:r.end] for r in by_doc[0]} == {"needle"}
+    # chunk-merge dedup collapses repeated same-label same-text entities
+    # on chunked docs (faithful-to-reference quirk) — at least one found
+    assert len(by_doc[0]) >= 1
+    assert 3 in by_doc and len(by_doc[3]) == 1
+    assert 1 not in by_doc and 2 not in by_doc
+    # threshold above every score -> clean empty result
+    assert extract_entities(df, ["x"], GazetteerSpec.from_dict(lex),
+                            threshold=0.99).count() == 0
