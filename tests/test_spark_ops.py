@@ -255,3 +255,58 @@ def test_salted_join_equals_plain_join_on_hot_key(spark):
     left = salted_join(big, part, ["domain"], salt_buckets=4, how="left")
     assert left.count() == 400
     assert left.where(F.col("n").isNull()).count() == 380
+
+
+def test_checkpoint_partial_resume_processes_only_missing_buckets(spark, docs, tmp_path):
+    # simulate a mid-run kill: some buckets written+marked done, others
+    # missing — the re-run must process ONLY the missing buckets and
+    # converge to the complete output
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from glinerswift_spark.operators.checkpoint import (
+        run_stage_with_checkpoint,
+        with_bucket,
+    )
+
+    root = str(tmp_path / "ckpt")
+    sample = docs.limit(40)
+    seen_rows = []
+
+    def transform(df):
+        seen_rows.append(df.count())
+        return token_count(df)
+
+    full = run_stage_with_checkpoint(
+        spark, sample, transform, root, "tok", "doc_id", num_buckets=8
+    ).collect()
+    assert len(full) == 40 and seen_rows == [40]
+
+    # "crash": drop two buckets' data and their status rows
+    victims = {1, 5}
+    status = spark.read.parquet(os.path.join(root, "_STATUS"))
+    kept = status.where(~F.col("part_bucket").isin(list(victims)))
+    kept_rows = kept.collect()
+    for f in glob.glob(os.path.join(root, "_STATUS", "*.parquet")):
+        os.remove(f)
+    spark.createDataFrame(kept_rows, status.schema).write.mode("overwrite").parquet(
+        os.path.join(root, "_STATUS")
+    )
+    import shutil
+    for b in victims:
+        shutil.rmtree(os.path.join(root, "tok", f"part_bucket={b}"))
+
+    resumed = run_stage_with_checkpoint(
+        spark, sample, transform, root, "tok", "doc_id", num_buckets=8
+    ).collect()
+    assert len(resumed) == 40
+    # the second transform invocation saw ONLY the victims' rows
+    expected_victim_rows = (
+        with_bucket(sample, "doc_id", 8)
+        .where(F.col("part_bucket").isin(list(victims)))
+        .count()
+    )
+    assert seen_rows == [40, expected_victim_rows]
+    assert sorted(r.doc_id for r in resumed) == sorted(r.doc_id for r in full)
