@@ -156,3 +156,27 @@ def test_extract_documents_batch_matches_per_doc():
         ]
         for e1, e2 in zip(p, q):
             assert abs(e1.score - e2.score) < 1e-9
+
+
+def test_tokenizer_from_tokenizer_json(tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from glinerswift_spark.functions.subword import UnigramTokenizer
+
+    vocab = [["<unk>", -10.0], ["▁he", -1.0], ["llo", -1.5], ["▁hello", -0.5]]
+    path = tmp_path / "tokenizer.json"
+    path.write_text(json.dumps({"model": {"type": "Unigram", "unk_id": 0,
+                                          "vocab": vocab}}))
+    tok = UnigramTokenizer.from_tokenizer_json(str(path))
+    ids, toks = tok.tokenize("hello")
+    # the whole-word piece outscores he+llo (-0.5 vs -2.5)
+    assert toks == ["▁hello"] and ids == [3]
+    direct = UnigramTokenizer(vocab, unk_token="<unk>")
+    assert direct.tokenize("hello") == (ids, toks)
+
+    bad = tmp_path / "bpe.json"
+    bad.write_text(json.dumps({"model": {"type": "BPE", "vocab": {}}}))
+    with _pytest.raises(ValueError, match="unigram"):
+        UnigramTokenizer.from_tokenizer_json(str(bad))
