@@ -466,6 +466,24 @@ def _char_vocab() -> list:
     return vocab
 
 
+class _CachedTokenizer:
+    """Memoizing facade over UnigramTokenizer: the schema/text encoder
+    re-tokenizes the same words constantly (labels every document,
+    Zipf-repeated text words) and the per-char lattice Viterbi is the
+    python-side cost — one dict hit replaces it."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.unk = inner.unk
+        self._memo: dict = {}
+
+    def tokenize(self, text: str):
+        r = self._memo.get(text)
+        if r is None:
+            r = self._memo[text] = self.inner.tokenize(text)
+        return r
+
+
 class PromptEncodingBackend:
     SPECIALS = ("[P]", "[E]", "[C]", "[L]", "[SEP_TEXT]")
 
@@ -474,12 +492,13 @@ class PromptEncodingBackend:
         from glinerswift_spark.scoring.heads import PromptHeads
 
         self.spec = spec
-        self.tokenizer = UnigramTokenizer(_char_vocab())
-        base = len(self.tokenizer.pieces)
+        inner_tok = UnigramTokenizer(_char_vocab())
+        base = len(inner_tok.pieces)
         self.special_ids = {}
         for i, tok in enumerate(self.SPECIALS):
             self.special_ids[tok] = base + i
-            self.tokenizer.register_special_token(tok, base + i)
+            inner_tok.register_special_token(tok, base + i)
+        self.tokenizer = _CachedTokenizer(inner_tok)
         if spec.weights_broadcast is not None:
             # .value is executor-cached by Spark's broadcast machinery:
             # one deserialization per worker, shared across tasks
@@ -512,6 +531,22 @@ class PromptEncodingBackend:
         orig = encoding.original_tokens
         mask = encoding.attention_mask
         T = len(orig)
+        n_real = sum(mask)
+        if n_real == T or all(mask[:n_real]) and not any(mask[n_real:]):
+            # vectorized fast path (no padding, or suffix-only padding —
+            # the only shapes pad_encoding produces): same per-element
+            # add order as the scalar loop, so values are identical
+            V = np.stack([self._tok_vec(t) for t in orig[:n_real]]) \
+                if n_real else np.zeros((0, self.spec.dim))
+            out_r = V.copy()
+            if n_real > 1:
+                out_r[:-1] += 0.5 * V[1:]
+                out_r[1:] += 0.25 * V[:-1]
+            norms = np.sqrt((out_r * out_r).sum(axis=1, keepdims=True))
+            norms[norms == 0] = 1.0
+            out = np.zeros((T, self.spec.dim))
+            out[:n_real] = out_r / norms
+            return out
         out = np.zeros((T, self.spec.dim))
         for i in range(T):
             if not mask[i]:
@@ -566,6 +601,47 @@ class PromptEncodingBackend:
         for w in range(1, max_w):
             logits[max(n - w, 0):, w, :] = NEG_INF
         return logits
+
+    def score_documents(
+        self, texts: list, spans_list: list, labels: list
+    ) -> list:
+        """Batched scoring: encoding + projection stay per-document
+        (python-side, memoized tokenization), but the span-rep head runs
+        ONE BiLSTM/FFN batch pass across all documents — the same batch
+        seam a real batched transformer encoder plugs into."""
+        from glinerswift_spark.config import DEFAULT_CONFIG
+        from glinerswift_spark.functions.schema_encoding import (
+            entity_label_embeddings,
+        )
+
+        max_w = DEFAULT_CONFIG.max_span_width
+        n_lb = len(labels)
+        word_mats = []
+        label_projs = []
+        for text, spans in zip(texts, spans_list):
+            if not spans or n_lb == 0:
+                word_mats.append(np.zeros((0, self.spec.dim)))
+                label_projs.append(None)
+                continue
+            words = [text[s:e] for s, e in spans]
+            encoding = self.encode(words, labels)
+            word_embs, prompts = self._project(encoding)
+            word_mats.append(word_embs)
+            label_projs.append(
+                self.heads.prompt_proj(entity_label_embeddings(prompts, n_lb))
+            )
+        reps = self.heads.span_head.batch(word_mats, max_w)
+        out = []
+        for spans, span_rep, lab in zip(spans_list, reps, label_projs):
+            n = len(spans)
+            if n == 0 or lab is None:
+                out.append(np.full((n, max_w, n_lb), NEG_INF))
+                continue
+            logits = span_rep @ lab.T * self.spec.scale + self.spec.bias
+            for w in range(1, max_w):
+                logits[max(n - w, 0):, w, :] = NEG_INF
+            out.append(logits)
+        return out
 
     def classify_logits(self, text: str, spans: list, labels: list) -> np.ndarray:
         """Dedicated classifier head: logits come from the schema's [C]
