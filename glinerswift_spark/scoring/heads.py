@@ -355,6 +355,29 @@ class SpanRepHead:
         return outs
 
 
+def span_label_logits(span_rep: np.ndarray, projections: np.ndarray) -> np.ndarray:
+    """J1 score kernel over per-instance label projections.
+
+    ``span_rep`` [n_words, max_width, d] x ``projections`` [p, L, d]
+    -> raw logits [p, n_words, max_width, L]; ``sigmoid`` of this is the
+    reference's ground-truth score formula
+    ``sigmoid(einsum("lkd,bpd->bplk", span_rep, struct_proj))``
+    (ref Scripts/dump_gliner2_tensors.py:83,
+    SpanHead/GLiNER2SpanScoreBuilder.swift:44-69).
+
+    Implemented as one matmul per instance (p is <= max_count, tiny) so
+    the p==1 slice is BIT-identical to the backends' ``span_rep @ lab.T``
+    hot path — einsum's different reduction order would drift the last
+    float bit and break the oracle score hashes.
+    """
+    span_rep = np.asarray(span_rep)
+    projections = np.asarray(projections)
+    if projections.ndim == 2:
+        projections = projections[None]
+    return np.stack([span_rep @ projections[p].T
+                     for p in range(projections.shape[0])])
+
+
 class CountEmbed:
     """Per-instance structure projections (count-conditioned label
     projections): label embeddings [L, d] -> [max_count, L, d], where
