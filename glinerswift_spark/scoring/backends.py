@@ -444,9 +444,64 @@ class PromptEncodingSpec:
     max_seq_len: int = 512
     weights_dir: str = ""
     weights_broadcast: object = None
+    # Encoder seam (items the reference fills with Core ML): a picklable
+    # callable ``provider(encoding, default_states) -> [T, dim]`` that
+    # replaces/augments the deterministic hash states. A real ONNX/torch
+    # encoder, or precomputed per-word states (WordStatesProvider below),
+    # drops in here without touching the pipeline. Must be hashable (the
+    # spec is the per-worker backend cache key).
+    hidden_states_provider: object = None
 
     def build(self) -> "PromptEncodingBackend":
         return PromptEncodingBackend(self)
+
+
+@dataclass(frozen=True)
+class WordStatesProvider:
+    """Precomputed per-word hidden states keyed by lowercased surface.
+
+    Every subword of a TEXT-segment word is overridden with the word's
+    vector (so the first-subword gather P7 returns it exactly, whatever
+    the subword segmentation); schema/separator/pad positions keep the
+    backend's default states. Unknown words keep the default too — the
+    provider degrades gracefully on out-of-table surfaces.
+
+    This is the deployment shape for precomputed embeddings (a broadcast
+    word->vector table) and the test seam that feeds the reference's REAL
+    DeBERTa hidden states (python_outputs.json encoder_output) through
+    the full backend extraction path.
+    """
+
+    entries: tuple = ()  # tuple of (word_lower, tuple-of-floats)
+
+    @staticmethod
+    def from_dict(table: dict) -> "WordStatesProvider":
+        return WordStatesProvider(
+            entries=tuple(sorted((w, tuple(map(float, v))) for w, v in table.items()))
+        )
+
+    def _table(self) -> dict:
+        t = getattr(self, "_map", None)
+        if t is None:
+            t = {w: np.asarray(v, dtype=np.float64) for w, v in self.entries}
+            object.__setattr__(self, "_map", t)  # frozen-safe memo
+        return t
+
+    def __call__(self, encoding, default_states: np.ndarray) -> np.ndarray:
+        from glinerswift_spark.functions.schema_encoding import SEGMENT_TEXT
+
+        table = self._table()
+        out = np.array(default_states, copy=True)
+        text_start = None
+        for i, (seg, orig) in enumerate(encoding.segments):
+            if seg != SEGMENT_TEXT:
+                continue
+            if text_start is None:
+                text_start = orig
+            vec = table.get(encoding.text_words[orig - text_start])
+            if vec is not None:
+                out[i] = vec
+        return out
 
 
 def _char_vocab() -> list:
@@ -522,6 +577,26 @@ class PromptEncodingBackend:
         return v
 
     def _hidden_states(self, encoding) -> np.ndarray:
+        """Per-subword hidden states: the default deterministic contextual
+        hash states, optionally transformed by the spec's injectable
+        ``hidden_states_provider`` (the encoder seam — real/precomputed
+        states drop in here). P6 is enforced REGARDLESS of provider:
+        masked positions are zeroed after the provider runs."""
+        states = self._default_hidden_states(encoding)
+        provider = self.spec.hidden_states_provider
+        if provider is None:
+            return states
+        out = np.asarray(provider(encoding, states), dtype=np.float64)
+        if out.shape != (len(encoding.input_ids), self.spec.dim):
+            raise ValueError(
+                f"hidden_states_provider returned shape {out.shape}; "
+                f"expected ({len(encoding.input_ids)}, {self.spec.dim})"
+            )
+        mask = np.asarray(encoding.attention_mask, dtype=bool)
+        out[~mask] = 0.0
+        return out
+
+    def _default_hidden_states(self, encoding) -> np.ndarray:
         """Deterministic per-subword states with a fixed attention window:
         state(i) = normalize(h(orig_i) + 0.5 h(orig_{i+1}) + 0.25 h(orig_{i-1})).
         The window makes the states CONTEXTUAL enough that each [E]
