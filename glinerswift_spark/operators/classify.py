@@ -73,8 +73,11 @@ def classify_documents(
 
         backend = get_backend(backend_spec)
         # fast path: a dedicated doc-level head skips the full
-        # [words x widths x labels] span tensor (gazetteer: running max;
-        # prompt backend: the reference's classifier-head dataflow)
+        # [words x widths x labels] span tensor. EVERY shipped backend
+        # provides one (gazetteer: running max; prompt backend: the
+        # reference's classifier-head dataflow; hash/neural stubs:
+        # width-1 slice max); the dense fallback below exists only for
+        # third-party backends that ship score_document alone.
         fast = getattr(backend, "classify_logits", None)
         for pdf in batches:
             rows = {c: [] for c in out_schema.fieldNames()}

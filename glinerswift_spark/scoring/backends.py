@@ -285,6 +285,33 @@ class HashEmbeddingBackend:
             out[:m, w, :] = sim * self.scale + self.bias
         return out
 
+    def classify_logits(self, text: str, spans: list, labels: list) -> np.ndarray:
+        """Doc-level label logits from WIDTH-1 spans only: logit[l] =
+        max over words of sim(word_emb, label_emb)*scale+bias — the
+        bi-encoder classifier-head analogue (strongest single word per
+        label). Equal to the dense span tensor's width-1 slice max to
+        float round-off (the dense path's width-1 mean is a prefix-sum
+        difference), at 1/max_width the FLOPs and no
+        [words x widths x labels] allocation; a doc-level classification
+        job must not pay the span head's candidate enumeration."""
+        n = len(spans)
+        if n == 0 or not labels:
+            return np.full(len(labels), NEG_INF)
+        words = np.stack([self._word(text[s:e]) for s, e in spans])
+        lab = self._labels(labels)
+        if self.pooling == "concat":
+            lab = np.concatenate([lab, lab, lab], axis=1) / np.sqrt(3.0)
+            span_emb = np.concatenate([words, words, words], axis=1)
+        else:
+            span_emb = words  # mean/max pooling of one word IS the word
+        if self.similarity == "cosine":
+            norms = np.linalg.norm(span_emb, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sim = (span_emb / norms) @ lab.T
+        else:
+            sim = span_emb @ lab.T
+        return (sim * self.scale + self.bias).max(axis=0)
+
     def count_logits(self, text: str, structure_name: str) -> np.ndarray:
         h = hashlib.md5(
             f"count:{self.seed}:{structure_name}:{text[:64]}".encode()
@@ -396,6 +423,20 @@ class NeuralStubBackend:
                 logits[max(n - w, 0):, w, :] = NEG_INF
             out.append(logits)
         return out
+
+    def classify_logits(self, text: str, spans: list, labels: list) -> np.ndarray:
+        """Doc-level label logits from WIDTH-1 span reps only: one BiLSTM
+        pass + n width-1 FFN reps instead of the full [n, max_width]
+        span tensor — bit-identical to the dense tensor's width-1 slice
+        max (same head code path, max_width=1), at 1/max_width the
+        FFN/score FLOPs."""
+        n = len(spans)
+        if n == 0 or not labels:
+            return np.full(len(labels), NEG_INF)
+        words = np.stack([self._word(text[s:e]) for s, e in spans])
+        rep = self.head(words, 1)[:, 0, :]  # [n, rep]
+        logits = rep @ self._labels(labels).T * self.spec.scale + self.spec.bias
+        return logits.max(axis=0)
 
     def count_logits(self, text: str, structure_name: str) -> np.ndarray:
         h = hashlib.md5(

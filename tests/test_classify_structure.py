@@ -58,6 +58,50 @@ def test_classification_multilabel_threshold(spark):
     assert scores["positive"] >= 0.5 and scores["negative"] >= 0.5
 
 
+def test_stub_backend_classifier_fast_path_is_width1_slice_max():
+    """Hash and neural stub backends ship a classify_logits fast path:
+    the dense span tensor's width-1 slice max (to float round-off — the
+    dense width-1 mean is a prefix-sum difference), so a doc-level
+    classification job never pays max_width x the FLOPs."""
+    from glinerswift_spark.functions.text import word_spans
+    from glinerswift_spark.scoring.backends import (
+        HashEmbeddingSpec,
+        NeuralStubSpec,
+    )
+
+    text = "scan the table then join rows by key and sort the output"
+    spans = word_spans(text)
+    labels = ["operator", "object"]
+    for spec in (
+        HashEmbeddingSpec(),
+        HashEmbeddingSpec(pooling="concat", similarity="dot"),
+        HashEmbeddingSpec(pooling="max"),
+        NeuralStubSpec(),
+    ):
+        backend = spec.build()
+        fast = backend.classify_logits(text, spans, labels)
+        dense = backend.score_document(text, spans, labels)
+        width1_max = dense[:, 0, :].max(axis=0)
+        assert np.allclose(fast, width1_max, rtol=0, atol=1e-12), spec
+    # empty document path
+    backend = HashEmbeddingSpec().build()
+    assert (backend.classify_logits("", [], labels) < -1e29).all()
+
+
+def test_classify_documents_with_stub_backend(spark):
+    from glinerswift_spark.scoring.backends import HashEmbeddingSpec
+
+    df = spark.createDataFrame(
+        [(1, "scan the table"), (2, "sort by key")], "doc_id long, text string"
+    )
+    spec = ClassificationSpec("topic", ["operator", "object"],
+                              multi_label=False, cls_threshold=0.0)
+    rows = classify_documents(df, spec, HashEmbeddingSpec()).collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    tops = [r for r in rows if r.is_top]
+    assert len(tops) == 2  # exactly one top label per doc
+
+
 def test_structured_extraction_with_validators(spark):
     # FIXTURES.md §3: contact{email(regex-full), phone}
     text = "John Smith at Apple Inc. Contact: john@apple.com, 555-1234"
