@@ -141,18 +141,27 @@ def ngram_jaccard_pairs(
     shared by k documents creates k^2/2 join rows, and at web scale a
     navigation footer shingle with k in the millions is a job-killer.
     The guard only prunes CANDIDATES — the jaccard itself is computed
-    exactly over the FULL distinct-shingle sets (array_intersect on the
-    candidate pairs), so for any pair that still surfaces the value is
-    identical to the unguarded form. Pass ``max_df=None`` for exhaustive
-    candidate generation (small corpora / oracle replay parity).
+    exactly over the FULL distinct-shingle sets, so for any pair that
+    still surfaces the value is identical to the unguarded form. Pass
+    ``max_df=None`` for exhaustive candidate generation (small corpora /
+    oracle replay parity).
+
+    The verification join is NARROW by construction: |A∩B| comes from
+    counting matches on the exploded (doc, shingle) relation restricted
+    to candidate pairs, and |A|/|B| from a (doc, size) relation — no row
+    anywhere carries a document-sized shingle array, so join-row width
+    stays O(1) as documents grow (the previous array_intersect form
+    shipped BOTH full shingle arrays per surviving candidate pair).
+    Candidates share >= 1 guarded shingle, which is in both full sets,
+    so every candidate pair has |A∩B| >= 1 and inner joins are lossless.
     """
     from pyspark import StorageLevel
 
-    # the shingle relation feeds candidate generation (x2) AND both
-    # array sides of the exact-jaccard join — persist so the scan-side
-    # shingling runs once, not four times
+    # the shingle relation feeds candidate generation AND the exploded
+    # intersection sides — persist so the scan-side shingling runs once
     sh = doc_shingles(df, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    ex = sh.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    ex_full = sh.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    ex = ex_full
     if max_df is not None:
         keep = ex.groupBy("sh").count().where(F.col("count") <= max_df).select("sh")
         ex = ex.join(keep, "sh")
@@ -164,13 +173,22 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("__sa"))
-    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("__sb"))
-    inter = F.size(F.array_intersect("__sa", "__sb"))
-    jac = inter / (F.size("__sa") + F.size("__sb") - inter)
+    # exact |A∩B| over the PRE-guard exploded relation, candidates only
+    a_exf = ex_full.select(F.col(id_col).alias("doc_a"), "sh")
+    b_exf = ex_full.select(F.col(id_col).alias("doc_b"), "sh")
+    inter_counts = (
+        cand.join(a_exf, "doc_a")
+        .join(b_exf, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("__sz"))
+    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("__sz").alias("__za"))
+    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("__sz").alias("__zb"))
+    jac = F.col("__i") / (F.col("__za") + F.col("__zb") - F.col("__i"))
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter_counts.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -97,3 +97,17 @@ def test_structure_fields_single_extraction_pass(spark, queries):
     assert plan.count("MapInPandas") == 2
     # the label -> field-config join is broadcast, never a shuffle join
     assert "SortMergeJoin" not in plan
+
+
+def test_jaccard_verify_join_is_narrow(spark):
+    """The exact-jaccard verification never ships document-sized shingle
+    arrays across the join: |A∩B| is counted on the exploded (doc,
+    shingle) relation and sizes join as (doc, int) — array_intersect
+    (which required both full arrays per candidate pair) must not
+    appear, and the aggregate keyed by the pair must."""
+    from glinerswift_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(ngram_jaccard_pairs(df, threshold=0.5))
+    assert "array_intersect" not in plan
+    assert "count" in plan  # the pair-keyed intersection count aggregate
