@@ -9,8 +9,10 @@ The label-of-label join halves the remaining distance to each
 component's minimum every round (path doubling), so convergence is
 O(log diameter) instead of O(diameter) — a 10^6-hop duplicate chain
 resolves in ~20 rounds. Near-dup clusters are usually tiny (diameter
-2-3, so 2-3 rounds either way); the doubling term is what makes the
-default max_iterations=20 budget safe for adversarial chain-shaped
+2-3), so the doubling join is DEFERRED (``jump_after``, default 2):
+shallow graphs converge on seed + plain hash-min rounds without paying
+the extra self-join or its codegen, and the doubling term still makes
+the default max_iterations=20 budget safe for adversarial chain-shaped
 graphs at web scale.
 
 Scale hygiene per the north rule:
@@ -33,6 +35,7 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 20,
     on_exhaustion: str = "raise",
+    jump_after: int = 2,
 ) -> DataFrame:
     """edges(src, dst) -> (node, component) with component = min node id.
 
@@ -41,7 +44,15 @@ def connected_components(
     can do this at web scale), the labels are WRONG, not approximate:
     ``on_exhaustion='raise'`` (default) fails loudly; ``'warn'`` logs and
     returns the partial labels for callers that tolerate over-split
-    components."""
+    components.
+
+    ``jump_after``: pointer jumping (the label-of-label self-join) is
+    DEFERRED until this many plain hash-min rounds have run. Near-dup
+    graphs overwhelmingly have diameter 2-3 — seed + 2 plain rounds
+    finish them without ever paying the extra join + its codegen — while
+    chain-shaped adversaries still converge in
+    ``jump_after + O(log diameter)`` rounds once doubling kicks in.
+    Set 0 to jump from the first round."""
     # checkpoint FIRST: the (possibly expensive) edge computation upstream
     # materializes exactly once — symmetrizing via union would otherwise
     # evaluate the whole upstream plan twice (once per direction)
@@ -63,39 +74,35 @@ def connected_components(
     )
 
     converged = False
-    for _ in range(max_iterations):
+    for rnd in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy(sym["a"].alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        # pointer jumping: my component's CURRENT component (the labels
-        # relation joined to itself on component = node). The component
-        # id is always an existing node id, so the inner join is total.
-        grand = labels.select(
-            F.col("node").alias("__c"), F.col("component").alias("grand_min")
-        )
-        updated = (
-            labels.join(neighbor_min, "node", "left")
-            .join(grand, labels["component"] == grand["__c"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
-                    F.coalesce(F.col("grand_min"), F.col("component")),
-                ).alias("component"),
-                (
-                    (
-                        F.coalesce(F.col("nbr_min"), F.col("component"))
-                        < F.col("component")
-                    )
-                    | (
-                        F.coalesce(F.col("grand_min"), F.col("component"))
-                        < F.col("component")
-                    )
-                ).alias("__changed"),
+        candidates = [
+            F.col("component"),
+            F.coalesce(F.col("nbr_min"), F.col("component")),
+        ]
+        joined = labels.join(neighbor_min, "node", "left")
+        if rnd >= jump_after:
+            # pointer jumping: my component's CURRENT component (the
+            # labels relation joined to itself on component = node). The
+            # component id is always an existing node id, so the join is
+            # total; deferred past the shallow-graph rounds (see
+            # ``jump_after``).
+            grand = labels.select(
+                F.col("node").alias("__c"), F.col("component").alias("grand_min")
             )
+            joined = joined.join(grand, joined["component"] == grand["__c"], "left")
+            candidates.append(F.coalesce(F.col("grand_min"), F.col("component")))
+        changed_pred = candidates[1] < F.col("component")
+        for extra in candidates[2:]:
+            changed_pred = changed_pred | (extra < F.col("component"))
+        updated = joined.select(
+            "node",
+            F.least(*candidates).alias("component"),
+            changed_pred.alias("__changed"),
         )
         updated = updated.localCheckpoint(eager=True)
         changed = updated.where(F.col("__changed")).limit(1).count()

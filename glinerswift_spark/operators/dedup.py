@@ -146,56 +146,75 @@ def ngram_jaccard_pairs(
     ``max_df=None`` for exhaustive candidate generation (small corpora /
     oracle replay parity).
 
-    The verification join is NARROW by construction: |A∩B| comes from
-    counting matches on the exploded (doc, shingle) relation restricted
-    to candidate pairs, and |A|/|B| from a (doc, size) relation — no row
-    anywhere carries a document-sized shingle array, so join-row width
-    stays O(1) as documents grow (the previous array_intersect form
-    shipped BOTH full shingle arrays per surviving candidate pair).
-    Candidates share >= 1 guarded shingle, which is in both full sets,
-    so every candidate pair has |A∩B| >= 1 and inner joins are lossless.
+    The verification is NARROW by construction — no row anywhere carries
+    a document-sized shingle array, so join-row width stays O(1) as
+    documents grow (the previous array_intersect form shipped BOTH full
+    shingle arrays per candidate pair). It is also nearly FREE: shingles
+    split disjointly by document frequency into guarded (df <= max_df)
+    and high-df, so |A∩B| = |A∩B ∩ guarded| + |A∩B ∩ high|. The first
+    term falls out of the SAME self-join that generates candidates (the
+    pair-count aggregate replaces the old ``distinct()`` at equal cost,
+    with |A|/|B| riding along as one int per row); the second term joins
+    only the high-df slice of the exploded relation (boilerplate — a few
+    shingles per doc) restricted to candidate pairs.
     """
     from pyspark import StorageLevel
 
-    # the shingle relation feeds candidate generation AND the exploded
-    # intersection sides — persist so the scan-side shingling runs once
-    sh = doc_shingles(df, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    ex_full = sh.select(F.col(id_col), F.explode("shingles").alias("sh"))
-    ex = ex_full
+    # ONE exploded (doc, |shingles|, shingle) relation feeds the df
+    # guard, both candidate sides, and the high-df correction — persist
+    # it so shingling + explode run once for all scans
+    exz = (
+        doc_shingles(df, n, text_col, id_col)
+        .select(
+            F.col(id_col), F.size("shingles").alias("__z"),
+            F.explode("shingles").alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ex = exz
     if max_df is not None:
-        keep = ex.groupBy("sh").count().where(F.col("count") <= max_df).select("sh")
-        ex = ex.join(keep, "sh")
-    a = ex.select(F.col(id_col).alias("doc_a"), "sh")
-    b = ex.select(F.col(id_col).alias("doc_b"), "sh")
-    cand = (
+        dfreq = exz.groupBy("sh").count()
+        keep = dfreq.where(F.col("count") <= max_df).select("sh")
+        ex = exz.join(keep, "sh")
+    a = ex.select(F.col(id_col).alias("doc_a"), "sh", F.col("__z").alias("__za"))
+    b = ex.select(F.col(id_col).alias("doc_b"), "sh", F.col("__z").alias("__zb"))
+    guarded_stats = (
         a.join(b, "sh")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    # exact |A∩B| over the PRE-guard exploded relation, candidates only
-    a_exf = ex_full.select(F.col(id_col).alias("doc_a"), "sh")
-    b_exf = ex_full.select(F.col(id_col).alias("doc_b"), "sh")
-    inter_counts = (
-        cand.join(a_exf, "doc_a")
-        .join(b_exf, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("__i"))
-    )
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("__sz"))
-    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("__sz").alias("__za"))
-    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("__sz").alias("__zb"))
-    jac = F.col("__i") / (F.col("__za") + F.col("__zb") - F.col("__i"))
-    return (
-        inter_counts.join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(jac, 6).alias("jaccard"),
+        .agg(
+            F.count(F.lit(1)).alias("__ig"),
+            F.max("__za").alias("__za"),
+            F.max("__zb").alias("__zb"),
         )
-        .where(F.col("jaccard") >= threshold)
     )
+    if max_df is None:
+        pair_stats = guarded_stats.withColumn("__i", F.col("__ig"))
+    else:
+        # candidate pairs share >= 1 guarded shingle, so guarded_stats IS
+        # the candidate set; correct its count with the high-df overlap,
+        # restricted to candidate pairs (left join: most pairs share none)
+        guarded_stats = guarded_stats.persist(StorageLevel.MEMORY_AND_DISK)
+        hikeep = dfreq.where(F.col("count") > max_df).select("sh")
+        hi = exz.join(hikeep, "sh")
+        a_hi = hi.select(F.col(id_col).alias("doc_a"), "sh")
+        b_hi = hi.select(F.col(id_col).alias("doc_b"), "sh")
+        hi_counts = (
+            guarded_stats.select("doc_a", "doc_b")
+            .join(a_hi, "doc_a")
+            .join(b_hi, ["doc_b", "sh"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("__ih"))
+        )
+        pair_stats = guarded_stats.join(
+            hi_counts, ["doc_a", "doc_b"], "left"
+        ).withColumn("__i", F.col("__ig") + F.coalesce(F.col("__ih"), F.lit(0)))
+    jac = F.col("__i") / (F.col("__za") + F.col("__zb") - F.col("__i"))
+    return pair_stats.select(
+        "doc_a",
+        "doc_b",
+        F.round(jac, 6).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 SIMHASH_BITS = 16

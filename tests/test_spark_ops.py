@@ -27,12 +27,19 @@ from glinerswift_spark.sources.pages import read_documents, read_embeddings
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return read_documents(spark, sf_dir).cache()
+    # unpersist at teardown: a cached RAW scan leaks into every later
+    # plan over the same file (CacheManager substitutes the full-width
+    # InMemoryRelation), silently un-pruning scans in the plan tests
+    df = read_documents(spark, sf_dir).cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return read_embeddings(spark, sf_dir).cache()
+    df = read_embeddings(spark, sf_dir).cache()
+    yield df
+    df.unpersist()
 
 
 def test_exact_dedup(spark):
