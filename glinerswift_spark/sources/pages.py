@@ -174,3 +174,43 @@ def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None,
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
+
+
+def iceberg_catalog_available(spark: SparkSession, catalog: str = "spark_catalog") -> bool:
+    """True iff ``catalog`` is backed by an Iceberg SparkCatalog (the
+    production deployment; this container ships no Iceberg runtime jar)."""
+    impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+    return impl is not None and "iceberg" in impl.lower()
+
+
+def write_table_iceberg(
+    df: DataFrame,
+    table: str,
+    partition_by: list[str] | None = None,
+    catalog: str = "spark_catalog",
+):
+    """Idempotent Iceberg materialization (S8, the north rule's named
+    target): createOrReplace on first write, overwritePartitions on
+    re-runs — dynamic partition overwrite, so a resumed stage replaces
+    exactly the partitions it recomputed and a full re-run converges to
+    the same table state. Requires an Iceberg catalog on the session
+    (spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-*
+    with spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog);
+    raises a clear error when absent rather than writing to a
+    non-transactional fallback.
+    """
+    spark = df.sparkSession
+    if not iceberg_catalog_available(spark, catalog):
+        raise RuntimeError(
+            f"catalog {catalog!r} is not an Iceberg catalog on this session; "
+            "configure spark.sql.catalog.* for Iceberg or use write_table() "
+            "for plain-path parquet output"
+        )
+    if spark.catalog.tableExists(table):
+        # dynamic overwrite of exactly the partitions present in df
+        df.writeTo(table).overwritePartitions()
+    else:
+        w = df.writeTo(table).using("iceberg")
+        if partition_by:
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        w.createOrReplace()

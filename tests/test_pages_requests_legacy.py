@@ -221,3 +221,23 @@ def test_resume_after_partial_run_matches_clean_run(spark, sf_dir, tmp_path):
 
     key = lambda r: (r.doc_id, r.n_tokens, r.n_types, r.len_chars)
     assert sorted(map(key, resumed)) == sorted(map(key, clean))
+
+
+def test_iceberg_write_guard_and_invocation(spark, tmp_path):
+    """The Iceberg write path (S8, the north rule's named node/edge
+    target) is gated behind catalog detection: without an Iceberg
+    catalog it refuses loudly instead of writing to a non-transactional
+    fallback. The createOrReplace/overwritePartitions invocation itself
+    runs under an Iceberg catalog (skip-marked here: the container ships
+    no iceberg-spark-runtime jar)."""
+    from glinerswift_spark.sources.pages import (
+        iceberg_catalog_available,
+        write_table_iceberg,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    if iceberg_catalog_available(spark):
+        pytest.skip("session has a real Iceberg catalog; exercised in prod")
+    assert not iceberg_catalog_available(spark)
+    with pytest.raises(RuntimeError, match="not an Iceberg catalog"):
+        write_table_iceberg(df, "kg.nodes", partition_by=["doc_id"])
