@@ -695,6 +695,120 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _q_kg_degree(spark, sf_dir):
+    """Graph analytics over the materialized KG: per-node out/in degree
+    (distinct predicate-neighbor pairs) and total triple mentions."""
+    t = _q_kg_triples(spark, sf_dir)
+    outd = t.groupBy(F.col("subj").alias("node")).agg(
+        F.countDistinct(F.concat_ws("|", "pred", "obj")).alias("out_deg"),
+        F.count(F.lit(1)).alias("n_subj"),
+    )
+    ind = t.groupBy(F.col("obj").alias("node")).agg(
+        F.countDistinct(F.concat_ws("|", "subj", "pred")).alias("in_deg"),
+        F.count(F.lit(1)).alias("n_obj"),
+    )
+    return outd.join(ind, "node", "full").select(
+        "node",
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        (F.coalesce("n_subj", F.lit(0)) + F.coalesce("n_obj", F.lit(0))).alias(
+            "n_triples"
+        ),
+    )
+
+
+def _q_cooccur_lift(spark, sf_dir):
+    """Entity co-occurrence lift over KG mentions: lift(a,b) =
+    P(a,b) / (P(a) P(b)) on the docs-with-entities universe. Exact
+    integer counts -> ONE IEEE double division (correctly rounded, so
+    bit-identical in any engine — no transcendental drift like log-PMI)."""
+    de = _q_kg_entities(spark, sf_dir).select("doc_id", "entity").distinct()
+    nd = de.groupBy("entity").agg(F.count(F.lit(1)).alias("n"))
+    total = de.select(F.countDistinct("doc_id").alias("n_docs"))
+    a = de.select("doc_id", F.col("entity").alias("ent_a"))
+    b = de.select("doc_id", F.col("entity").alias("ent_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    na = nd.select(F.col("entity").alias("ent_a"), F.col("n").alias("n_a"))
+    nb = nd.select(F.col("entity").alias("ent_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(na, "ent_a")
+        .join(nb, "ent_b")
+        .crossJoin(total)
+        .select(
+            "ent_a",
+            "ent_b",
+            "n_pair",
+            F.round(
+                (F.col("n_pair") * F.col("n_docs")) / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: corpus docs sharing >= 3 distinct
+    3-shingles with the held-out benchmark slice (doc_id % 97 == 0)."""
+    from glinerswift_spark.operators.dedup import contamination_counts
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return contamination_counts(corpus, bench, n=3, min_shared=3)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-bucket stratified sample: per-lang keep rates,
+    membership a pure function of doc_id (resume/retry stable)."""
+    from glinerswift_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(
+        _docs(spark, sf_dir),
+        "lang",
+        {"en": 0.25, "de": 0.5, "zh": 0.0},
+        key_col="doc_id",
+        default_fraction=0.10,
+        bucket_col="bucket",
+    )
+    return out.select("doc_id", "lang", "bucket")
+
+
+def _q_events_asof(spark, sf_dir):
+    """As-of join: each 'error' event gets the most recent prior-or-equal
+    'click' of the same user (click id, microsecond gap, value)."""
+    from glinerswift_spark.operators.asof import asof_join_backward
+
+    ev = _events(spark, sf_dir)
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join_backward(
+        errors, clicks, on=["user_id"], left_ts="ts", right_ts="cts",
+        value_cols=["click_id", "cts", "click_value"], right_order="click_id",
+    )
+    return out.where(F.col("asof_click_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.col("asof_click_id").alias("click_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_cts").cast("timestamp"))
+        ).alias("gap_us"),
+        F.round("asof_click_value", 4).alias("click_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_entities": _q_kg_entities,
@@ -738,6 +852,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5ish": _q_tpch_q5ish,
+        "kg_degree": _q_kg_degree,
+        "cooccur_lift": _q_cooccur_lift,
+        "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
+        "events_asof": _q_events_asof,
     }
 
 
@@ -1466,4 +1585,72 @@ ranked AS (
     FROM scored
 )
 SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, cos FROM ranked WHERE rk <= {ANN_K}"""
+
+    sql["kg_degree"] = f"""WITH {_TRIPLE_CTE},
+outd AS (SELECT subj AS node, count(DISTINCT pred || '|' || obj) AS out_deg,
+                count(*) AS n_subj
+         FROM trip GROUP BY 1),
+ind AS (SELECT obj AS node, count(DISTINCT subj || '|' || pred) AS in_deg,
+               count(*) AS n_obj
+        FROM trip GROUP BY 1)
+SELECT coalesce(outd.node, ind.node) AS node,
+       CAST(coalesce(out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg,
+       CAST(coalesce(n_subj, 0) + coalesce(n_obj, 0) AS BIGINT) AS n_triples
+FROM outd FULL JOIN ind ON outd.node = ind.node"""
+
+    sql["cooccur_lift"] = f"""WITH {_ENT_CTE},
+de AS (SELECT DISTINCT doc_id, entity FROM ent),
+nd AS (SELECT entity, count(*) AS n FROM de GROUP BY 1),
+tot AS (SELECT count(DISTINCT doc_id) AS n_docs FROM de),
+p AS (SELECT a.entity AS ent_a, b.entity AS ent_b, count(*) AS n_pair
+      FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.entity < b.entity
+      GROUP BY 1, 2)
+SELECT ent_a, ent_b, CAST(n_pair AS BIGINT) AS n_pair,
+       round(CAST(n_pair * n_docs AS DOUBLE) / (na.n * nb.n), 6) AS lift
+FROM p JOIN nd na ON na.entity = p.ent_a
+       JOIN nd nb ON nb.entity = p.ent_b, tot"""
+
+    sql["decontaminate"] = f"""WITH {_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+bset AS (SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0)
+SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM ex JOIN bset USING (g)
+WHERE ex.doc_id % 97 <> 0
+GROUP BY 1 HAVING count(*) >= 3"""
+
+    sql["stratified_sample"] = """
+WITH b AS (
+    SELECT doc_id, lang,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS bucket
+    FROM documents
+)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < (CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000
+                          WHEN 'zh' THEN 0 ELSE 1000 END)"""
+
+    sql["events_asof"] = """
+WITH u AS (
+    SELECT user_id, ts AS __ts, 1 AS side, NULL::BIGINT AS ord,
+           event_id, NULL::BIGINT AS c_id, NULL::TIMESTAMP AS c_ts,
+           NULL::DOUBLE AS c_val
+    FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT user_id, ts, 0, event_id, NULL, event_id, ts, "value"
+    FROM events WHERE event_type = 'click'
+),
+w AS (
+    SELECT *,
+           last_value(c_id IGNORE NULLS) OVER win AS a_id,
+           last_value(c_ts IGNORE NULLS) OVER win AS a_ts,
+           last_value(c_val IGNORE NULLS) OVER win AS a_val
+    FROM u
+    WINDOW win AS (PARTITION BY user_id ORDER BY __ts, side, ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, a_id AS click_id,
+       epoch_us(__ts) - epoch_us(a_ts) AS gap_us,
+       round(a_val, 4) AS click_value
+FROM w WHERE side = 1 AND a_id IS NOT NULL"""
     return sql

@@ -217,6 +217,42 @@ def ngram_jaccard_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
+def contamination_counts(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, n_shared) for corpus docs
+    sharing >= ``min_shared`` distinct n-gram shingles with ANY benchmark
+    document — the standard eval-leakage filter for training corpora.
+
+    Scale shape: the benchmark shingle set is deduped first and is
+    orders of magnitude smaller than the corpus (eval suites are
+    thousands of docs, the corpus is billions), so the join's small side
+    broadcasts (AQE) and corpus shingles stream map-side — NOTHING
+    corpus-sized shuffles; only matching (doc, shingle) rows reach the
+    per-doc count, with map-side partial aggregation.
+    Per-doc shingles are distinct by construction, so count(*) after the
+    join IS the distinct-shared count."""
+    corpus = doc_shingles(df, n, text_col, id_col).select(
+        F.col(id_col), F.explode("shingles").alias("sh")
+    )
+    bench = (
+        doc_shingles(benchmark, n, text_col, id_col)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    return (
+        corpus.join(bench, "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 SIMHASH_BITS = 16
 
 
