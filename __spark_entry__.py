@@ -809,6 +809,39 @@ def _q_events_asof(spark, sf_dir):
     )
 
 
+def _q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition filter: top-word/top-bigram fractions and a
+    keep verdict, all scan-side (sorted-array fold, zero shuffle)."""
+    from glinerswift_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_kg_pagerank(spark, sf_dir):
+    """Weighted PageRank (5 iterations, damping 0.85) over the materialized
+    KG edges in fixed-point BIGINT arithmetic — rank_int is bit-exact
+    across engines (integer adds are order-independent; float sums are
+    not), so the oracle replays the full linking stage AND the power
+    iteration value-for-value."""
+    from glinerswift_spark.operators.graph import pagerank_integer
+
+    return pagerank_integer(_q_kg_edges(spark, sf_dir), iters=5)
+
+
+def _q_mixture_plan(spark, sf_dir):
+    """Curriculum-mixture planner: per-lang token inventory + the sampling
+    fraction realizing a 40/25/20/10/5 en/de/zh/fr/es mixture over a
+    20k-token budget (strata smaller than their allocation cap at 1.0)."""
+    from glinerswift_spark.operators.sampling import mixture_plan
+
+    return mixture_plan(
+        _docs(spark, sf_dir),
+        "lang",
+        {"en": 40, "de": 25, "zh": 20, "fr": 10, "es": 5},
+        token_budget=20_000,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_entities": _q_kg_entities,
@@ -857,6 +890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "events_asof": _q_events_asof,
+        "repetition_filter": _q_repetition_filter,
+        "kg_pagerank": _q_kg_pagerank,
+        "mixture_plan": _q_mixture_plan,
     }
 
 
@@ -1653,4 +1689,88 @@ SELECT event_id, user_id, a_id AS click_id,
        epoch_us(__ts) - epoch_us(a_ts) AS gap_us,
        round(a_val, 4) AS click_value
 FROM w WHERE side = 1 AND a_id IS NOT NULL"""
+
+    sql["repetition_filter"] = """
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+w AS (SELECT doc_id, unnest(s) AS word FROM s),
+tw AS (SELECT doc_id, max(c) AS topw, CAST(sum(c) AS BIGINT) AS n
+       FROM (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2)
+       GROUP BY 1),
+b AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(s)),
+                                   i -> s[i] || ' ' || s[i + 1])) AS bg
+      FROM s),
+tb AS (SELECT doc_id, max(c) AS topb
+       FROM (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2)
+       GROUP BY 1)
+SELECT tw.doc_id, CAST(n AS INTEGER) AS n_tokens,
+       round(topw * 1.0 / n, 6) AS top_word_frac,
+       round(COALESCE(topb, 0) * 1.0 / greatest(n - 1, 1), 6) AS top_bigram_frac,
+       (n >= 50 AND round(topw * 1.0 / n, 6) <= 0.12
+          AND round(COALESCE(topb, 0) * 1.0 / greatest(n - 1, 1), 6) <= 0.08)
+           AS keep
+FROM tw LEFT JOIN tb ON tw.doc_id = tb.doc_id
+WHERE n > 0"""
+
+    # PageRank power iteration unrolled as chained CTEs over the SAME
+    # linking-stage edges the kg_edges oracle replays. Fixed-point BIGINT
+    # arithmetic end-to-end => order-independent, bit-exact vs Spark.
+    _pr_base = 10**12 * 15 // 100
+    _pr = [
+        # NB: inside WITH RECURSIVE, DuckDB parses a top-level `A UNION B`
+        # CTE as base-UNION-step recursion — wrap in DISTINCT-over-subquery
+        "prnodes AS (SELECT DISTINCT node FROM (SELECT src_id AS node FROM eg"
+        " UNION ALL SELECT dst_id FROM eg))",
+        "ow AS (SELECT src_id, CAST(sum(weight) AS BIGINT) AS out_w FROM eg GROUP BY 1)",
+        f"r0 AS (SELECT node, CAST({10**12} AS BIGINT) AS r FROM prnodes)",
+    ]
+    for _i in range(5):
+        _pr.append(
+            f"""r{_i + 1} AS (
+    SELECT n.node, {_pr_base} + (85 * COALESCE(s.m, 0)) // 100 AS r
+    FROM prnodes n
+    LEFT JOIN (
+        SELECT e.dst_id AS node,
+               CAST(sum((r{_i}.r * e.weight) // o.out_w) AS BIGINT) AS m
+        FROM eg e JOIN ow o USING (src_id) JOIN r{_i} ON r{_i}.node = e.src_id
+        GROUP BY 1
+    ) s ON s.node = n.node
+)"""
+        )
+    sql["kg_pagerank"] = f"""WITH RECURSIVE {_TRIPLE_CTE},
+{_LINKING_CTE},
+smap AS (
+    SELECT lower(text) AS surface, min(canonical_id) AS canonical_id
+    FROM mm GROUP BY 1
+),
+resolved AS (
+    SELECT s1.canonical_id AS src_id, t.pred, s2.canonical_id AS dst_id
+    FROM trip t
+    JOIN smap s1 ON lower(t.subj) = s1.surface
+    JOIN smap s2 ON lower(t.obj) = s2.surface
+),
+eg AS (SELECT src_id, dst_id, CAST(count(*) AS BIGINT) AS weight
+       FROM resolved GROUP BY 1, 2),
+{", ".join(_pr)}
+SELECT node, r AS rank_int, round(CAST(r AS DOUBLE) / 1e12, 6) AS rank
+FROM r5"""
+
+    sql["mixture_plan"] = """
+WITH inv AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS stratum_tokens
+    FROM documents GROUP BY 1
+),
+d AS (
+    SELECT *,
+           (CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 25 WHEN 'zh' THEN 20
+                      WHEN 'fr' THEN 10 WHEN 'es' THEN 5 ELSE 0 END
+            * CAST(20000 AS BIGINT)) // 100 AS desired
+    FROM inv
+)
+SELECT lang, n_docs, stratum_tokens,
+       CAST(least(desired, stratum_tokens) AS BIGINT) AS planned_tokens,
+       round(least(1.0, desired * 1.0 / greatest(stratum_tokens, 1)), 6)
+           AS sample_frac
+FROM d"""
     return sql

@@ -89,3 +89,88 @@ def materialize_edges(
             F.round(F.avg("score"), 4).alias("avg_score"),
         )
     )
+
+
+PAGERANK_SCALE = 10**12
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    weight: str = "weight",
+    iters: int = 5,
+    scale: int = PAGERANK_SCALE,
+    damp_pct: int = 85,
+) -> DataFrame:
+    """Weighted PageRank with INTEGER (fixed-point) arithmetic — every
+    contribution is ``(rank * weight) div out_weight`` on BIGINTs and every
+    damped update is ``base + (damp_pct * sum) div 100``, so the result is
+    bit-identical in any engine regardless of aggregation order (floats
+    would drift in the last ulp across Spark/DuckDB sum orders; integer
+    adds are associative). Dangling-node mass is dropped by design (the
+    standard "no redistribution" variant) — documented, deterministic.
+
+    Returns (node, rank_int, rank) with rank = rank_int / scale rounded
+    to 6 — rank_int is the exact comparison key.
+
+    Scale shape: each iteration is one equi-join of the edge relation
+    against the (node, rank) relation on ``src`` plus one groupBy(dst)
+    with map-side partial sums — the same shuffle pattern per round as
+    the pointer-jumping connected components (operators/components.py).
+    The rank relation is node-cardinality (small side → broadcast when it
+    fits); the edge relation is never shuffled if pre-partitioned by src.
+    Overflow guard: rank_int <= n_nodes * scale after round 1, so
+    damp_pct * sum stays under 2^63 for n_nodes * scale < 10^17.
+    """
+    # Collapse parallel edges (e.g. per-predicate KG edges) by endpoint
+    # pair FIRST: (r*w1) div o + (r*w2) div o != (r*(w1+w2)) div o under
+    # integer division, so the collapsed multigraph is the defined input.
+    e = (
+        edges.select(
+            F.col(src).alias("__src"),
+            F.col(dst).alias("__dst"),
+            F.col(weight).cast("long").alias("__w"),
+        )
+        .groupBy("__src", "__dst")
+        .agg(F.sum("__w").alias("__w"))
+    )
+    # The edge relation is consumed once per iteration: cut its upstream
+    # lineage (the input may be a whole KG-construction pipeline) so the
+    # power iteration replays a materialized relation, not the pipeline.
+    # Same pattern as the pointer-jumping rounds in components.py.
+    e = e.localCheckpoint()
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .union(e.select(F.col("__dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outw = e.groupBy("__src").agg(F.sum("__w").alias("__out_w"))
+    ew = e.join(outw, "__src").localCheckpoint()
+    base = scale * (100 - damp_pct) // 100
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_int"))
+    for _ in range(iters):
+        contrib = ew.join(
+            ranks.select(F.col("node").alias("__src"), "rank_int"), "__src"
+        ).select(
+            F.col("__dst").alias("node"),
+            F.expr("(rank_int * __w) div __out_w").alias("__c"),
+        )
+        summed = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damp_pct} * coalesce(__s, 0L)) div 100")
+                ).alias("rank_int"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node",
+        "rank_int",
+        F.round(F.col("rank_int") / F.lit(float(scale)), 6).alias("rank"),
+    )

@@ -55,3 +55,54 @@ def stratified_sample(
     if bucket_col:
         out = out.withColumn(bucket_col, bucket)
     return out
+
+
+def mixture_plan(
+    df: DataFrame,
+    strata_col: str,
+    weights_pct: dict,
+    token_budget: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Curriculum-mixture planner: given target mixture weights (integer
+    percents) and a global token budget, compute per-stratum token
+    inventory and the sampling fraction that realizes the mixture.
+
+    desired = weight_pct * budget div 100 (exact BIGINT); a stratum
+    smaller than its allocation is taken whole (frac 1.0) — the standard
+    "epochs > 1 not allowed" constraint surfaces as planned < desired.
+    One tiny aggregate (|strata| rows) → the output IS the config you
+    feed to stratified_sample; at 100 TB this is a metadata query (one
+    map-side-combined groupBy over a scan).
+    """
+    w = F.size(F.split(F.col(text_col), " "))
+    inv = (
+        df.groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(w).alias("stratum_tokens"),
+        )
+    )
+    pct = reduce(
+        lambda acc, kv: F.when(F.col(strata_col) == kv[0], F.lit(kv[1])).otherwise(
+            acc
+        ),
+        sorted(weights_pct.items()),
+        F.lit(0),
+    )
+    desired = F.expr(f"(weight_pct * {int(token_budget)}L) div 100")
+    return (
+        inv.withColumn("weight_pct", pct.cast("long"))
+        .select(
+            strata_col,
+            "n_docs",
+            "stratum_tokens",
+            F.least(desired, F.col("stratum_tokens")).alias("planned_tokens"),
+            F.round(
+                F.least(
+                    F.lit(1.0), desired / F.greatest(F.col("stratum_tokens"), F.lit(1))
+                ),
+                6,
+            ).alias("sample_frac"),
+        )
+    )

@@ -75,6 +75,71 @@ def doc_fingerprint(df: DataFrame) -> DataFrame:
     )
 
 
+def _max_frequency(sorted_arr: F.Column) -> F.Column:
+    """Max element frequency of a SORTED array as a single fold — equal
+    values are adjacent after sorting, so the longest run IS the mode
+    count. Zero shuffle, zero Python: the Gopher-style repetition
+    signals run at scan speed inside whole-stage codegen."""
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+        ).alias("best"),
+    )
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(
+    df: DataFrame,
+    max_word_frac: float = 0.12,
+    max_bigram_frac: float = 0.08,
+    min_tokens: int = 50,
+) -> DataFrame:
+    """Gopher/C4-style repetition filter: fraction of tokens taken by the
+    most frequent word and most frequent bigram, plus a keep verdict.
+    Boilerplate/spam web pages repeat navigation strings and templated
+    bigrams; these two fractions are the cheapest high-recall signals
+    (Rae et al. 2021 "Scaling Language Models" §A1.1 uses the same
+    family). Fractions are ONE exact-integer division each (correctly
+    rounded double — engine-portable, see cooccur_lift)."""
+    w = words_col()
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        _max_frequency(F.array_sort(w)).alias("top_word_n"),
+        _max_frequency(F.array_sort(bigrams)).alias("top_bigram_n"),
+    ).where(F.col("n_tokens") > 0)
+    word_frac = F.round(F.col("top_word_n") / F.col("n_tokens"), 6)
+    bigram_frac = F.round(
+        F.col("top_bigram_n") / F.greatest(F.col("n_tokens") - 1, F.lit(1)), 6
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        word_frac.alias("top_word_frac"),
+        bigram_frac.alias("top_bigram_frac"),
+        (
+            (F.col("n_tokens") >= min_tokens)
+            & (word_frac <= max_word_frac)
+            & (bigram_frac <= max_bigram_frac)
+        ).alias("keep"),
+    )
+
+
 def classify_keyword(df: DataFrame) -> DataFrame:
     """Keyword-count classifier: top-1 label by count, ties -> label asc.
 

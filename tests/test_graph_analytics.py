@@ -1,0 +1,138 @@
+"""pagerank_integer, repetition_stats, mixture_plan, write_training_shards."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from glinerswift_spark.operators.graph import PAGERANK_SCALE, pagerank_integer
+from glinerswift_spark.operators.sampling import mixture_plan
+from glinerswift_spark.operators.textstats import repetition_stats
+from glinerswift_spark.sources.pages import write_training_shards
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        rows, "src_id string, dst_id string, weight long"
+    )
+
+
+def test_pagerank_symmetric_cycle_uniform(spark):
+    # a -> b -> c -> a: perfectly symmetric, every rank stays exactly at
+    # the fixed point scale*1.0 (base 0.15 + 0.85 * full inflow).
+    out = pagerank_integer(
+        _edges(spark, [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)]), iters=4
+    )
+    rows = {r["node"]: r["rank_int"] for r in out.collect()}
+    assert rows == {"a": PAGERANK_SCALE, "b": PAGERANK_SCALE, "c": PAGERANK_SCALE}
+
+
+def test_pagerank_matches_float_reference_and_orders_hubs(spark):
+    # star + chain: 3 leaves point at hub; hub points at tail.
+    edges = [("l1", "hub", 1), ("l2", "hub", 1), ("l3", "hub", 1),
+             ("hub", "tail", 2)]
+    out = {
+        r["node"]: (r["rank_int"], r["rank"])
+        for r in pagerank_integer(_edges(spark, edges), iters=5).collect()
+    }
+    # float twin (no dangling redistribution, same damping/iterations)
+    nodes = ["l1", "l2", "l3", "hub", "tail"]
+    outw = {"l1": 1, "l2": 1, "l3": 1, "hub": 2}
+    r = {n: 1.0 for n in nodes}
+    for _ in range(5):
+        inflow = {n: 0.0 for n in nodes}
+        for s, d, w in [(e[0], e[1], e[2]) for e in edges]:
+            inflow[d] += r[s] * w / outw[s]
+        r = {n: 0.15 + 0.85 * inflow[n] for n in nodes}
+    for n in nodes:
+        # fixed-point truncation error: one ulp of 1/scale per div, a
+        # handful of divs deep -> generous 1e-6 relative tolerance
+        assert math.isclose(out[n][0] / PAGERANK_SCALE, r[n], rel_tol=1e-6), n
+    # hub's entire mass flows to its single successor: tail > hub > leaves
+    assert out["tail"][0] > out["hub"][0] > out["l1"][0]
+    # leaves are symmetric -> bit-identical ranks
+    assert out["l1"][0] == out["l2"][0] == out["l3"][0]
+
+
+def test_pagerank_parallel_edges_collapse_before_division(spark):
+    # two parallel a->b edges must contribute like one weight-2 edge
+    collapsed = pagerank_integer(
+        _edges(spark, [("a", "b", 2), ("a", "c", 1)]), iters=2
+    )
+    parallel = pagerank_integer(
+        _edges(spark, [("a", "b", 1), ("a", "b", 1), ("a", "c", 1)]), iters=2
+    )
+    assert sorted(map(tuple, collapsed.collect())) == sorted(
+        map(tuple, parallel.collect())
+    )
+
+
+def test_repetition_stats_flags_repeats(spark):
+    clean = " ".join(f"w{i}" for i in range(60))          # 60 distinct words
+    spam = " ".join(["buy now"] * 30)                      # one bigram, 60 tokens
+    short = "tiny doc"
+    df = spark.createDataFrame(
+        [(1, clean), (2, spam), (3, short)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["keep"] and rows[1]["top_word_frac"] < 0.02
+    assert not rows[2]["keep"]
+    assert rows[2]["top_word_frac"] == 0.5  # 'buy' and 'now' 30x each / 60
+    # 'now buy' appears 29x of 59 bigrams
+    assert abs(rows[2]["top_bigram_frac"] - round(30 / 59, 6)) < 1e-9
+    assert not rows[3]["keep"] and rows[3]["n_tokens"] == 2
+
+
+def test_mixture_plan_caps_and_fractions(spark):
+    df = spark.createDataFrame(
+        [(i, "a b c d", "en" if i < 8 else "de") for i in range(10)],
+        "doc_id long, text string, lang string",
+    )
+    # en: 8 docs * 4 tokens = 32; de: 2 * 4 = 8
+    plan = {
+        r["lang"]: r
+        for r in mixture_plan(
+            df, "lang", {"en": 50, "de": 50}, token_budget=32
+        ).collect()
+    }
+    assert plan["en"]["stratum_tokens"] == 32
+    assert plan["en"]["planned_tokens"] == 16 and plan["en"]["sample_frac"] == 0.5
+    # de wants 16 but only has 8 -> capped, frac 1.0
+    assert plan["de"]["planned_tokens"] == 8 and plan["de"]["sample_frac"] == 1.0
+
+
+def test_shard_writer_deterministic_and_partition_stable(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(df, p1, n_shards=4)
+    # different input partitioning must not change shard contents or order
+    write_training_shards(df.repartition(13), p2, n_shards=4)
+    a = spark.read.parquet(p1)
+    b = spark.read.parquet(p2)
+    assert a.count() == 200
+    shards_a = sorted(
+        (r["__shard"], r["doc_id"])
+        for r in a.select("__shard", "doc_id").collect()
+    )
+    shards_b = sorted(
+        (r["__shard"], r["doc_id"])
+        for r in b.select("__shard", "doc_id").collect()
+    )
+    assert shards_a == shards_b
+    n_per = a.groupBy("__shard").count().collect()
+    assert len(n_per) == 4  # every shard populated
+    # within-file order is the md5 stream, not the key order: read one
+    # shard's file directly and compare to the expected hash ordering
+    import pandas as pd  # noqa: F401
+
+    one = (
+        a.where(F.col("__shard") == n_per[0]["__shard"])
+        .select("doc_id")
+        .toPandas()["doc_id"]
+        .tolist()
+    )
+    import hashlib
+
+    expect = sorted(one, key=lambda d: hashlib.md5(str(d).encode()).hexdigest())
+    assert one == expect
