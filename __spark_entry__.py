@@ -842,6 +842,80 @@ def _q_mixture_plan(spark, sf_dir):
     )
 
 
+def _q_cooccur_triangles(spark, sf_dir):
+    """Per-node triangle counts over the entity co-occurrence kNN graph
+    (each entity keeps its 6 strongest partners by shared-document
+    count — the scale-free graph construction; a fixed absolute
+    threshold cannot span scale factors). Triangle counting itself uses
+    degree-ordered orientation (wedge fan-out bounded by O(sqrt(|E|))
+    per node, the mega-hub-safe formulation; operators/graph.py). The
+    direct KG edge relation is operator->object BIPARTITE — zero
+    triangles by construction — so the co-occurrence projection is the
+    graph where triangle structure actually lives."""
+    from pyspark.sql import Window
+
+    from glinerswift_spark.operators.graph import triangle_counts
+
+    de = _q_kg_entities(spark, sf_dir).select("doc_id", "entity").distinct()
+    a = de.select("doc_id", F.col("entity").alias("ent_a"))
+    b = de.select("doc_id", F.col("entity").alias("ent_b"))
+    p = (
+        a.join(b, "doc_id")
+        .where(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    arcs = p.select(
+        F.col("ent_a").alias("s"), F.col("ent_b").alias("t"), "n_pair"
+    ).union(p.select(F.col("ent_b"), F.col("ent_a"), "n_pair"))
+    w = Window.partitionBy("s").orderBy(F.desc("n_pair"), "t")
+    knn = (
+        arcs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 6)
+        .select("s", "t")
+    )
+    return triangle_counts(knn, src="s", dst="t")
+
+
+def _synth_pages_urls(docs):
+    """Deterministic richly-structured URLs from document fields (host =
+    source subdomain + lang-derived TLD; path carries lang, a bucket
+    segment, and the doc id) — the input_hint pages-shape url column,
+    synthesized so the parsing ops have real structure to recover."""
+    tld = (
+        F.when(F.col("lang") == "en", "com")
+        .when(F.col("lang") == "de", "de")
+        .when(F.col("lang") == "fr", "fr")
+        .when(F.col("lang") == "es", "es")
+        .otherwise("net")
+    )
+    return docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example."),
+            tld,
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/a"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("/doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("?ref=x"),
+        ),
+    )
+
+
+def _q_domain_stats(spark, sf_dir):
+    """Per-host corpus census (pages, chars, max path depth, langs) via
+    pure-column URL parsing — the skew survey that sizes mega-domain
+    salting (operators/weburl.py)."""
+    from glinerswift_spark.operators.weburl import domain_stats
+
+    return domain_stats(_synth_pages_urls(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_entities": _q_kg_entities,
@@ -893,6 +967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": _q_repetition_filter,
         "kg_pagerank": _q_kg_pagerank,
         "mixture_plan": _q_mixture_plan,
+        "cooccur_triangles": _q_cooccur_triangles,
+        "domain_stats": _q_domain_stats,
     }
 
 
@@ -1773,4 +1849,67 @@ SELECT lang, n_docs, stratum_tokens,
        round(least(1.0, desired * 1.0 / greatest(stratum_tokens, 1)), 6)
            AS sample_frac
 FROM d"""
+
+    sql["cooccur_triangles"] = f"""WITH {_ENT_CTE},
+de AS (SELECT DISTINCT doc_id, entity FROM ent),
+p AS (SELECT a.entity AS ent_a, b.entity AS ent_b, count(*) AS n_pair
+      FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.entity < b.entity
+      GROUP BY 1, 2),
+arcs AS (SELECT ent_a AS s, ent_b AS t, n_pair FROM p
+         UNION ALL SELECT ent_b, ent_a, n_pair FROM p),
+knn AS (SELECT s, t FROM (
+          SELECT s, t,
+                 row_number() OVER (PARTITION BY s
+                                    ORDER BY n_pair DESC, t) AS rk
+          FROM arcs) WHERE rk <= 6),
+und AS MATERIALIZED (
+    SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+    FROM knn WHERE s <> t),
+deg AS MATERIALIZED (
+    SELECT node, count(*) AS d
+    FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+    GROUP BY 1),
+k AS (SELECT node, lpad(CAST(d AS VARCHAR), 12, '0') || '|' || node AS kk
+      FROM deg),
+o AS MATERIALIZED (
+    SELECT CASE WHEN ku.kk < kv.kk THEN u ELSE v END AS a,
+           CASE WHEN ku.kk < kv.kk THEN v ELSE u END AS b,
+           CASE WHEN ku.kk < kv.kk THEN kv.kk ELSE ku.kk END AS kb
+    FROM und JOIN k ku ON ku.node = und.u JOIN k kv ON kv.node = und.v),
+tr AS (SELECT w1.a AS a, w1.b AS b, w2.b AS c
+       FROM o w1 JOIN o w2 ON w1.a = w2.a AND w1.kb < w2.kb
+       JOIN o e ON e.a = w1.b AND e.b = w2.b),
+mem AS (SELECT node, count(*) AS t
+        FROM (SELECT a AS node FROM tr UNION ALL SELECT b FROM tr
+              UNION ALL SELECT c FROM tr)
+        GROUP BY 1)
+SELECT deg.node, CAST(coalesce(mem.t, 0) AS BIGINT) AS n_triangles
+FROM deg LEFT JOIN mem ON deg.node = mem.node"""
+
+    sql["domain_stats"] = """
+WITH pages AS (
+    SELECT *,
+           'https://' || source || '.example.' ||
+           (CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'de'
+                      WHEN 'fr' THEN 'fr' WHEN 'es' THEN 'es'
+                      ELSE 'net' END) ||
+           '/' || lang || '/a' || CAST(doc_id % 7 AS VARCHAR) ||
+           '/doc' || CAST(doc_id AS VARCHAR) || '?ref=x' AS url
+    FROM documents
+),
+parts AS (
+    SELECT *,
+           regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1)
+               AS path
+    FROM pages
+)
+SELECT host,
+       regexp_extract(host, '\\.([a-z0-9-]+)$', 1) AS tld,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(max(length(path) - length(replace(path, '/', ''))) AS INT)
+           AS max_depth,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM parts GROUP BY 1, 2"""
     return sql

@@ -174,3 +174,79 @@ def pagerank_integer(
         "rank_int",
         F.round(F.col("rank_int") / F.lit(float(scale)), 6).alias("rank"),
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED simple graph induced
+    by ``edges`` (direction, predicates, and parallel edges collapse to
+    one undirected edge; self-loops drop). Returns (node, n_triangles)
+    for EVERY node, zeros included.
+
+    Degree-ordered orientation — the standard scale-out algorithm
+    (node-iterator++ / MR triangle counting): every edge is oriented
+    from its lower endpoint to its higher endpoint under the TOTAL order
+    (degree, node id), so each triangle is emitted exactly once (at its
+    lowest-order corner) and, decisively for web-scale skew, the wedge
+    self-join fans out on OUT-degree under this orientation, which is
+    bounded by O(sqrt(|E|)) per node regardless of raw degree — a
+    celebrity node with 10^7 neighbors never builds 10^14 wedge rows,
+    because nearly all its edges orient INTO it. Plan: two equi-joins
+    (wedge build on the low corner, closure check on the (b, c) edge
+    key) + one explode/groupBy; nothing all-pairs anywhere.
+
+    The order key is the string lpad(degree) || '|' || node — one total
+    order, deterministic, and replayable verbatim in ANSI SQL (the
+    DuckDB oracle runs the same three CTEs).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    key = F.concat(
+        F.lpad(F.col("__deg").cast("string"), 12, "0"), F.lit("|"), F.col("node")
+    )
+    ku = deg.select(F.col("node").alias("u"), key.alias("__ku"))
+    kv = deg.select(F.col("node").alias("v"), key.alias("__kv"))
+    keyed = und.join(ku, "u").join(kv, "v")
+    oriented = keyed.select(
+        F.when(F.col("__ku") < F.col("__kv"), F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(F.col("__ku") < F.col("__kv"), F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(F.col("__ku") < F.col("__kv"), F.col("__kv")).otherwise(F.col("__ku")).alias("__kb"),
+    )
+    # wedges at the lowest-order corner: two out-edges of a, ordered so
+    # the candidate closing edge (b, c) is itself in oriented direction
+    w1 = oriented.select("a", F.col("b"), F.col("__kb"))
+    w2 = oriented.select(
+        F.col("a"), F.col("b").alias("c"), F.col("__kb").alias("__kc")
+    )
+    wedges = w1.join(w2, "a").where(F.col("__kb") < F.col("__kc"))
+    closing = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    member = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__t"))
+    )
+    return (
+        deg.select("node")
+        .join(member, "node", "left")
+        .select(
+            "node", F.coalesce(F.col("__t"), F.lit(0)).cast("long").alias("n_triangles")
+        )
+    )

@@ -1,0 +1,56 @@
+"""[NORTH-RULE, no ref] URL structure ops for Common-Crawl-style pages.
+
+The input_hint table keys pages by url; every practical web-corpus job
+needs the same three derived columns — host, registered-domain-ish tail,
+path depth — for per-domain skew diagnostics, mega-domain salting
+decisions, and per-site quality aggregation. Pure column expressions
+(scan-speed, whole-stage codegen, no UDF) built only from
+regexp_extract / replace / length so the DuckDB oracle replays them
+verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
+_PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)"
+_TLD_RE = "\\.([a-z0-9-]+)$"
+
+
+def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds host, tld, path, path_depth columns.
+
+    path_depth counts '/' in the path component (query/fragment
+    excluded): computed as length(path) - length(replace(path, '/', ''))
+    — the one '/'-count formula that is byte-identical across engines
+    (split()-based counts disagree on trailing separators).
+    """
+    url = F.col(url_col)
+    host = F.regexp_extract(url, _HOST_RE, 1)
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    return df.withColumns(
+        {
+            "host": host,
+            "tld": F.regexp_extract(host, _TLD_RE, 1),
+            "path": path,
+            "path_depth": (
+                F.length(path) - F.length(F.replace(path, F.lit("/"), F.lit("")))
+            ).cast("int"),
+        }
+    )
+
+
+def domain_stats(df: DataFrame, url_col: str = "url", chars_col: str = "n_chars") -> DataFrame:
+    """Per-host corpus profile: page count, total chars, max path depth,
+    distinct langs. ONE map-side-combined groupBy over the scan — the
+    skew census you run BEFORE choosing salt factors for mega-domains
+    (a host holding >1/partitions of the rows needs a salted key).
+    """
+    parts = with_url_parts(df, url_col)
+    return parts.groupBy("host", "tld").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.col(chars_col)).alias("total_chars"),
+        F.max("path_depth").alias("max_depth"),
+        F.countDistinct("lang").alias("n_langs"),
+    )

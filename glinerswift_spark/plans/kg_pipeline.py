@@ -224,6 +224,71 @@ def build_kg(
     }
 
 
+def update_kg(
+    prior_mentions: DataFrame,
+    prior_triples: DataFrame,
+    new_documents: DataFrame,
+    embeddings: DataFrame,
+    labels: list[str],
+    backend_spec,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    threshold: float | None = None,
+    config: Configuration = DEFAULT_CONFIG,
+    relation_cfg: RelationConfig | None = None,
+    linking_cfg=None,
+) -> dict:
+    """Incremental KG maintenance: a new crawl batch arrives AFTER a full
+    build. Extraction — the dominant cost, mapInPandas over every page —
+    runs ONLY on the new documents; the prior run's materialized
+    `mentions` / `triples` relations (parquet from the checkpointed
+    stages) are unioned in, and the comparatively cheap GLOBAL stages
+    (LSH blocking + cosine verify + connected components + node/edge
+    aggregation) re-run over the union, because linking is inherently
+    corpus-global (a new mention can merge two old clusters).
+
+    Equivalence to a full rebuild is structural, and pinned by test
+    (tests/test_kg_pipeline.py::test_incremental_update_equals_full_rebuild):
+    extraction is per-document (old docs' mentions/triples are identical
+    either way) and every downstream stage is a pure function of the
+    union. Deterministic ids (mention_id = 'doc:start:end:label',
+    canonical = min id) make the re-link reproduce the full build's ids
+    exactly — re-running a batch is idempotent, per the north rule.
+    """
+    from glinerswift_spark.config import LinkingConfig
+    from glinerswift_spark.operators.graph import (
+        materialize_edges,
+        mentions_from_entities,
+        surface_to_canonical,
+    )
+    from glinerswift_spark.operators.linking import link_mentions
+
+    lcfg = linking_cfg or LinkingConfig()
+    new_entities, new_triples = extract_and_link(
+        new_documents, labels, backend_spec,
+        text_col=text_col, doc_col=doc_col, threshold=threshold,
+        config=config, relation_cfg=relation_cfg,
+    )
+    new_mentions = attach_embeddings(
+        mentions_from_entities(new_entities, doc_col), embeddings
+    )
+    mentions = prior_mentions.unionByName(new_mentions)
+    triples = prior_triples.unionByName(new_triples)
+    mention_map, nodes, verified = link_mentions(mentions, lcfg)
+    surface_map = surface_to_canonical(
+        mentions.join(mention_map, "mention_id")
+    )
+    edges = materialize_edges(triples, surface_map, doc_col)
+    return {
+        "mentions": mentions,
+        "triples": triples,
+        "mention_map": mention_map,
+        "nodes": nodes,
+        "edges": edges,
+        "verified_pairs": verified,
+    }
+
+
 def top_relations(triples: DataFrame) -> DataFrame:
     """Headline aggregate: most frequent (subj, pred, obj) edges."""
     return (

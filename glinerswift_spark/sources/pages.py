@@ -35,6 +35,11 @@ def widen_small_scan(df: DataFrame, key: str) -> DataFrame:
     broadcast-friendly plans (e.g. ANN top-k) are faster WITHOUT the
     extra exchange.
     """
+    if df.isStreaming:
+        # partition introspection (df.rdd) is illegal on a streaming
+        # DataFrame; micro-batch parallelism is governed by the source's
+        # file/trigger settings, so pass through untouched
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, F.col(key))

@@ -136,3 +136,76 @@ def test_shard_writer_deterministic_and_partition_stable(spark, tmp_path):
 
     expect = sorted(one, key=lambda d: hashlib.md5(str(d).encode()).hexdigest())
     assert one == expect
+
+
+def test_triangle_counts_known_graph(spark):
+    # K4 on {a,b,c,d} (every node in C(3,2)=3 triangles) plus a pendant
+    # edge d-e (e in none) and noise the op must ignore: a parallel
+    # reversed edge, a self-loop, and per-predicate duplicates.
+    from glinerswift_spark.operators.graph import triangle_counts
+
+    k4 = [(u, v, 1) for u in "abcd" for v in "abcd" if u < v]
+    edges = _edges(
+        spark,
+        k4
+        + [("d", "e", 1), ("b", "a", 9), ("c", "c", 1), ("a", "b", 2)],
+    )
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}
+
+
+def test_triangle_counts_no_triangles(spark):
+    from glinerswift_spark.operators.graph import triangle_counts
+
+    # a path graph has zero triangles but every node must still appear
+    out = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(
+            _edges(spark, [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)])
+        ).collect()
+    }
+    assert out == {"a": 0, "b": 0, "c": 0, "d": 0}
+
+
+def test_triangle_counts_hub_orientation(spark):
+    # star hub h with 6 leaves + one closed pair (l1, l2): exactly ONE
+    # triangle. Degree orientation must point leaf->hub (leaves have
+    # degree 1-2, hub 6), so the hub builds NO wedge fan-out — the
+    # skew-safety property the docstring claims.
+    from glinerswift_spark.operators.graph import triangle_counts
+
+    edges = _edges(
+        spark,
+        [("h", f"l{i}", 1) for i in range(1, 7)] + [("l1", "l2", 1)],
+    )
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert out["h"] == 1 and out["l1"] == 1 and out["l2"] == 1
+    assert all(out[f"l{i}"] == 0 for i in range(3, 7))
+
+
+def test_url_parts_and_domain_stats(spark):
+    from glinerswift_spark.operators.weburl import domain_stats, with_url_parts
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://news.example.com/world/eu/story1?utm=x#frag", "en", 100),
+            (2, "https://news.example.com/world/", "en", 50),
+            (3, "http://blog.example.de/post", "de", 30),
+            (4, "https://example.net", "en", 10),  # no path at all
+        ],
+        "doc_id long, url string, lang string, n_chars long",
+    )
+    parts = {r["doc_id"]: r for r in with_url_parts(df).collect()}
+    assert parts[1]["host"] == "news.example.com"
+    assert parts[1]["tld"] == "com"
+    assert parts[1]["path"] == "/world/eu/story1"
+    assert parts[1]["path_depth"] == 3
+    assert parts[2]["path"] == "/world/"  # trailing slash counts
+    assert parts[2]["path_depth"] == 2
+    assert parts[4]["path"] == "" and parts[4]["path_depth"] == 0
+
+    stats = {r["host"]: r for r in domain_stats(df).collect()}
+    assert stats["news.example.com"]["n_pages"] == 2
+    assert stats["news.example.com"]["total_chars"] == 150
+    assert stats["news.example.com"]["max_depth"] == 3
+    assert stats["blog.example.de"]["tld"] == "de"

@@ -183,3 +183,40 @@ def test_sessionize_timeout_flushes_idle_sessions(spark, tmp_path):
     got_real = got.where(~F.col("user_id").isin(999_999, 999_998))
     assert got_real.count() == total_sessions
     assert got_real.select("user_id").distinct().count() == n_users
+
+
+def test_streaming_triple_extraction_matches_batch(spark, tmp_path):
+    """The fused extraction transform is stateless per-document, so the
+    streaming run over file-landed micro-batches must produce EXACTLY the
+    batch row set — the kg_construct arrival story (crawl files land,
+    each triggers extraction; global linking then folds in per batch via
+    update_kg)."""
+    from glinerswift_spark.scoring.backends import (
+        FLAGSHIP_LABELS,
+        flagship_gazetteer,
+    )
+    from glinerswift_spark.streaming.foreach_batch import stream_documents
+    from glinerswift_spark.streaming.stateful import extract_triples_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(80)
+    src = str(tmp_path / "docs_stream")
+    # several files so the stream actually runs multiple micro-batches
+    docs.repartition(5).write.mode("overwrite").parquet(src)
+
+    stream = stream_documents(spark, src)
+    out = extract_triples_stream(
+        stream, FLAGSHIP_LABELS, flagship_gazetteer(), threshold=0.5
+    )
+    _run_to_memory(out, "triples_stream_out", "append")
+    got = {
+        tuple(r) for r in spark.sql("select * from triples_stream_out").collect()
+    }
+
+    from glinerswift_spark.plans.kg_pipeline import extract_triples_fused
+
+    batch = extract_triples_fused(
+        spark.read.parquet(src), FLAGSHIP_LABELS, flagship_gazetteer(),
+        threshold=0.5,
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
