@@ -916,6 +916,30 @@ def _q_domain_stats(spark, sf_dir):
     return domain_stats(_synth_pages_urls(_docs(spark, sf_dir)))
 
 
+def _q_node_centroids(spark, sf_dir):
+    """Per-canonical-node embedding centroid as EXACT scaled integers:
+    component-wise sum of floor(v * 1e6) over the node's mentions, plus
+    the mention count — the consumer divides. Integer sums are
+    order-independent (float sums are not, and Spark/DuckDB integer
+    division disagree on negative operands — truncate vs floor — so
+    neither a float mean nor an integer mean survives an exact oracle;
+    (sum, n) does). Node centroids are the entity-level feature vector
+    the ANN operators then search over."""
+    from glinerswift_spark.plans.kg_pipeline import build_kg
+
+    kg = build_kg(
+        _docs(spark, sf_dir), _emb(spark, sf_dir),
+        FLAGSHIP_LABELS, flagship_gazetteer(), threshold=THRESHOLD,
+    )
+    m = kg["mentions"].join(kg["mention_map"], "mention_id")
+    ex = m.select("canonical_id", F.posexplode("embedding").alias("pos", "v"))
+    q = F.floor(F.col("v").cast("double") * F.lit(1000000.0)).cast("long")
+    return ex.groupBy("canonical_id", "pos").agg(
+        F.sum(q).alias("sum_q"),
+        F.count(F.lit(1)).alias("n_mentions"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_entities": _q_kg_entities,
@@ -969,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": _q_mixture_plan,
         "cooccur_triangles": _q_cooccur_triangles,
         "domain_stats": _q_domain_stats,
+        "node_centroids": _q_node_centroids,
     }
 
 
@@ -1912,4 +1937,20 @@ SELECT host,
            AS max_depth,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
 FROM parts GROUP BY 1, 2"""
+
+    sql["node_centroids"] = f"""WITH RECURSIVE {_ENT_CTE},
+{_LINKING_CTE},
+me AS (
+    SELECT mm.canonical_id, se.v
+    FROM mm JOIN se ON lower(mm.text) = se.surface AND mm.label = se.label
+),
+ex AS (
+    SELECT canonical_id, i - 1 AS pos,
+           CAST(floor(v[i] * 1000000) AS BIGINT) AS q
+    FROM me, unnest(generate_series(1, len(v))) AS t(i)
+)
+SELECT canonical_id, CAST(pos AS INT) AS pos,
+       CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(count(*) AS BIGINT) AS n_mentions
+FROM ex GROUP BY 1, 2"""
     return sql
