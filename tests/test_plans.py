@@ -111,3 +111,51 @@ def test_jaccard_verify_join_is_narrow(spark):
     plan = plan_of(ngram_jaccard_pairs(df, threshold=0.5))
     assert "array_intersect" not in plan
     assert "count" in plan  # the pair-keyed intersection count aggregate
+
+
+def test_stratified_sample_is_scan_side(spark, queries):
+    """Deterministic hash-bucket sampling is a pure filter — NO exchange
+    anywhere: at 100 TB the sample is decided during the scan."""
+    plan = plan_of(queries["stratified_sample"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_asof_join_single_shuffle_no_range_join(spark, queries):
+    """The as-of join is ONE shuffle (union of both sides on the key) +
+    one in-partition sort + window — never a range theta-join (which
+    plans as BroadcastNestedLoopJoin/CartesianProduct and is quadratic
+    per key)."""
+    plan = plan_of(queries["events_asof"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # the union-tag formulation needs exactly one exchange for the window
+    # partitioning (+ possibly one for a final aggregate projection)
+    assert plan.count("Exchange") <= 2
+
+
+def test_domain_stats_aggregate_only_shuffles(spark, queries):
+    """URL parsing is scan-side column work (regexps inside the first
+    Project over a pruned scan — `text` is never read); the only
+    shuffles are the aggregate's: count(DISTINCT lang) expands to the
+    standard two-phase distinct aggregate (partial over
+    (host, tld, lang) -> exchange -> merge -> exchange), so exactly 2
+    exchanges, both with map-side partials before them."""
+    plan = plan_of(queries["domain_stats"](spark, SF_DIR))
+    assert plan.count("Exchange") == 2
+    assert "partial_count" in plan  # map-side combine present
+    assert "ReadSchema: struct<doc_id:bigint,lang:string,source:string,n_chars:bigint>" in plan
+
+
+def test_triangle_counts_no_quadratic_join(spark):
+    """Triangle counting must never plan a cross/nested-loop join —
+    every stage is an equi-join on (a) or (b, c)."""
+    from glinerswift_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("a", "c", 1)],
+        "src_id string, dst_id string, weight long",
+    )
+    plan = plan_of(triangle_counts(edges))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
