@@ -34,6 +34,14 @@ def main():
     ap.add_argument("--threshold", type=float, default=0.5)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--salt-partitions", type=int, default=None)
+    ap.add_argument(
+        "--prior", default=None,
+        help="previous run's --output dir: treat --input as ONLY the new "
+             "crawl batch, extract just it, union the prior run's "
+             "materialized mentions/triples, and re-run the global "
+             "linking/canonicalization stages (incremental KG update; "
+             "equals a full rebuild — plans/kg_pipeline.update_kg)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -94,10 +102,34 @@ def main():
     mentions = attach_embeddings(
         mentions_from_entities(entities, args.doc_col), embeddings
     )
+    triples_flat = triples.drop("part_bucket")
+    if args.prior:
+        # incremental: this run extracted ONLY the new batch; fold in the
+        # prior snapshot and re-run the (corpus-global) linking stages —
+        # a new mention can merge two old clusters, so linking cannot be
+        # per-batch. Deterministic min-id canonicalization makes the
+        # result identical to a full rebuild (pinned by
+        # tests/test_kg_pipeline.py::test_incremental_update_equals_full_rebuild).
+        # A chained prior (itself incremental) carries its cumulative
+        # triples in triples_all; a full-build prior's checkpointed
+        # triples stage IS the full set.
+        p_all = os.path.join(args.prior, "triples_all")
+        p_tri = p_all if os.path.isdir(p_all) else os.path.join(args.prior, "triples")
+        mentions = spark.read.parquet(
+            os.path.join(args.prior, "mentions")
+        ).unionByName(mentions)
+        triples_flat = (
+            spark.read.parquet(p_tri).drop("part_bucket").unionByName(triples_flat)
+        )
+        # cumulative snapshot so the NEXT incremental run can chain
+        write_table(triples_flat, os.path.join(args.output, "triples_all"))
+        triples_flat = spark.read.parquet(os.path.join(args.output, "triples_all"))
     mention_map, nodes, _ = link_mentions(mentions)
     surface_map = surface_to_canonical(mentions.join(mention_map, "mention_id"))
-    edges = materialize_edges(triples, surface_map, args.doc_col)
+    edges = materialize_edges(triples_flat, surface_map, args.doc_col)
 
+    # the mentions snapshot is what the NEXT incremental run unions with
+    write_table(mentions, os.path.join(args.output, "mentions"))
     write_table(nodes, os.path.join(args.output, "nodes"))
     write_table(edges, os.path.join(args.output, "edges"))
     n_nodes = spark.read.parquet(os.path.join(args.output, "nodes")).count()

@@ -116,3 +116,48 @@ def test_contamination_counts(spark):
         for r in contamination_counts(corpus, bench, n=3, min_shared=1).collect()
     }
     assert got == {1: 2, 2: 1}
+
+
+def test_asof_join_matches_pandas_merge_asof_random(spark):
+    """Seeded random (key, ts) tables vs pandas.merge_asof(backward,
+    allow_exact_matches=True) — the library-grade reference semantics."""
+    import random
+
+    import pandas as pd
+
+    from glinerswift_spark.operators.asof import asof_join_backward
+
+    rng = random.Random(99)
+    left = [
+        (f"k{rng.randint(0, 3)}", rng.randint(0, 1000), i)
+        for i in range(60)
+    ]
+    right = [
+        (f"k{rng.randint(0, 3)}", rng.randint(0, 1000), 100 + i)
+        for i in range(40)
+    ]
+    ldf = spark.createDataFrame(left, "key string, ts long, lid long")
+    rdf = spark.createDataFrame(right, "key string, ts long, rval long")
+    out = asof_join_backward(
+        ldf, rdf, on=["key"], left_ts="ts", right_ts="ts",
+        value_cols=["rval"], right_order="rval",
+    )
+    got = {(r["lid"]): r["asof_rval"] for r in out.collect()}
+
+    lp = pd.DataFrame(left, columns=["key", "ts", "lid"]).sort_values("ts", kind="stable")
+    # mirror the operator's tie rule: among right rows at equal ts within
+    # a key, the greatest right_order wins — pre-sort so merge_asof's
+    # "last row" is that one
+    rp = (
+        pd.DataFrame(right, columns=["key", "ts", "rval"])
+        .sort_values(["ts", "rval"], kind="stable")
+    )
+    m = pd.merge_asof(
+        lp, rp, on="ts", by="key", direction="backward",
+        allow_exact_matches=True, suffixes=("", "_r"),
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.rval) else int(r.rval))
+        for r in m.itertuples()
+    }
+    assert got == want

@@ -209,3 +209,44 @@ def test_url_parts_and_domain_stats(spark):
     assert stats["news.example.com"]["total_chars"] == 150
     assert stats["news.example.com"]["max_depth"] == 3
     assert stats["blog.example.de"]["tld"] == "de"
+
+
+def test_triangle_counts_matches_bruteforce_random(spark):
+    """Seeded random multigraphs vs a pure-python brute force — pins the
+    orientation algebra (each triangle counted once, at every corner)."""
+    import itertools
+    import random
+
+    from glinerswift_spark.operators.graph import triangle_counts
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = rng.randint(5, 12)
+        nodes = [f"n{i}" for i in range(n)]
+        edges = []
+        for u, v in itertools.combinations(nodes, 2):
+            if rng.random() < 0.45:
+                edges.append((u, v, rng.randint(1, 3)))
+                if rng.random() < 0.2:
+                    edges.append((v, u, 1))  # reversed duplicate
+        if not edges:
+            continue
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts(_edges(spark, edges)).collect()
+        }
+        adj = {x: set() for x in nodes}
+        und = {(min(u, v), max(u, v)) for u, v, _ in edges if u != v}
+        for u, v in und:
+            adj[u].add(v)
+            adj[v].add(u)
+        want = {
+            x: sum(
+                1
+                for a, b in itertools.combinations(sorted(adj[x]), 2)
+                if b in adj[a]
+            )
+            for x in nodes
+            if adj[x]
+        }
+        assert got == want, f"trial {trial}"

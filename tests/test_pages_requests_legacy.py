@@ -241,3 +241,55 @@ def test_iceberg_write_guard_and_invocation(spark, tmp_path):
     assert not iceberg_catalog_available(spark)
     with pytest.raises(RuntimeError, match="not an Iceberg catalog"):
         write_table_iceberg(df, "kg.nodes", partition_by=["doc_id"])
+
+
+def test_run_kg_incremental_prior_equals_full(spark, tmp_path):
+    """jobs/run_kg.py --prior: a full build on batch A, an incremental
+    run on batch B chained to it, and a full build on A+B must produce
+    identical nodes and edges parquet (the deployment-level version of
+    test_incremental_update_equals_full_rebuild)."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(90)
+    a = docs.where(F.col("doc_id") % 3 != 0)
+    b = docs.where(F.col("doc_id") % 3 == 0)
+    d_all, d_a, d_b = (str(tmp_path / n) for n in ("all", "a", "b"))
+    docs.write.parquet(d_all)
+    a.write.parquet(d_a)
+    b.write.parquet(d_b)
+
+    def run(inp, out, prior=None):
+        cmd = [
+            sys.executable, "/root/repo/jobs/run_kg.py",
+            "--input", inp, "--output", out,
+            "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+            "--threshold", "0.5", "--buckets", "8",
+        ]
+        if prior:
+            cmd += ["--prior", prior]
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=420)
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    o_full, o_a, o_inc = (str(tmp_path / n) for n in ("kg_full", "kg_a", "kg_inc"))
+    run(d_all, o_full)
+    run(d_a, o_a)
+    run(d_b, o_inc, prior=o_a)
+
+    con = duckdb.connect()
+
+    def rows(out, sub, cols):
+        return sorted(
+            tuple(r) for r in con.execute(
+                f"SELECT {cols} FROM '{out}/{sub}/*.parquet'"
+            ).fetchall()
+        )
+
+    node_cols = "canonical_id, label, list_sort(surface_forms), n_mentions"
+    assert rows(o_inc, "nodes", node_cols) == rows(o_full, "nodes", node_cols)
+    edge_cols = "src_id, pred, dst_id, weight"
+    assert rows(o_inc, "edges", edge_cols) == rows(o_full, "edges", edge_cols)
+    # incremental genuinely changed the graph vs the A-only snapshot
+    assert rows(o_a, "edges", edge_cols) != rows(o_full, "edges", edge_cols)
