@@ -842,19 +842,14 @@ def _q_mixture_plan(spark, sf_dir):
     )
 
 
-def _q_cooccur_triangles(spark, sf_dir):
-    """Per-node triangle counts over the entity co-occurrence kNN graph
-    (each entity keeps its 6 strongest partners by shared-document
-    count — the scale-free graph construction; a fixed absolute
-    threshold cannot span scale factors). Triangle counting itself uses
-    degree-ordered orientation (wedge fan-out bounded by O(sqrt(|E|))
-    per node, the mega-hub-safe formulation; operators/graph.py). The
-    direct KG edge relation is operator->object BIPARTITE — zero
-    triangles by construction — so the co-occurrence projection is the
-    graph where triangle structure actually lives."""
+def _cooccur_knn(spark, sf_dir):
+    """Entity co-occurrence kNN graph (s, t): each entity keeps its 6
+    strongest partners by shared-document count — the scale-free graph
+    construction (a fixed absolute threshold cannot span scale factors).
+    Shared by the triangle and community queries; the direct KG edge
+    relation is operator->object BIPARTITE, so co-occurrence projection
+    is the graph where mesoscale structure actually lives."""
     from pyspark.sql import Window
-
-    from glinerswift_spark.operators.graph import triangle_counts
 
     de = _q_kg_entities(spark, sf_dir).select("doc_id", "entity").distinct()
     a = de.select("doc_id", F.col("entity").alias("ent_a"))
@@ -869,12 +864,38 @@ def _q_cooccur_triangles(spark, sf_dir):
         F.col("ent_a").alias("s"), F.col("ent_b").alias("t"), "n_pair"
     ).union(p.select(F.col("ent_b"), F.col("ent_a"), "n_pair"))
     w = Window.partitionBy("s").orderBy(F.desc("n_pair"), "t")
-    knn = (
+    return (
         arcs.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 6)
         .select("s", "t")
     )
-    return triangle_counts(knn, src="s", dst="t")
+
+
+def _q_cooccur_triangles(spark, sf_dir):
+    """Per-node triangle counts over the entity co-occurrence kNN graph
+    (_cooccur_knn). Triangle counting itself uses degree-ordered
+    orientation (wedge fan-out bounded by O(sqrt(|E|)) per node, the
+    mega-hub-safe formulation; operators/graph.py)."""
+    from glinerswift_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_cooccur_knn(spark, sf_dir), src="s", dst="t")
+
+
+def _q_kg_communities(spark, sf_dir):
+    """Community assignment over the co-occurrence kNN graph via
+    deterministic synchronous label propagation (operators/graph.py:
+    fixed 4 rounds, most-frequent neighbor label, min-label ties —
+    bit-deterministic, replayed by the oracle as 4 unrolled CTEs).
+    Output: (node, community, community_size)."""
+    from glinerswift_spark.operators.graph import label_propagation
+
+    labels = label_propagation(_cooccur_knn(spark, sf_dir), src="s", dst="t", iters=4)
+    sizes = labels.groupBy("community").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(sizes, "community").select(
+        "node", "community", "community_size"
+    )
 
 
 def _synth_pages_urls(docs):
@@ -992,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "mixture_plan": _q_mixture_plan,
         "cooccur_triangles": _q_cooccur_triangles,
+        "kg_communities": _q_kg_communities,
         "domain_stats": _q_domain_stats,
         "node_centroids": _q_node_centroids,
     }
@@ -1152,6 +1174,37 @@ _COS_CTE = """
 __e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label
         FROM embeddings),
 __n AS (SELECT vec_id, v, label, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM __e)"""
+
+# entity co-occurrence kNN graph (replays _cooccur_knn): top-6 partners
+# per entity by shared-document count, then the undirected simple graph
+_COOCCUR_KNN_CTE = """de AS (SELECT DISTINCT doc_id, entity FROM ent),
+p AS (SELECT a.entity AS ent_a, b.entity AS ent_b, count(*) AS n_pair
+      FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.entity < b.entity
+      GROUP BY 1, 2),
+arcs AS (SELECT ent_a AS s, ent_b AS t, n_pair FROM p
+         UNION ALL SELECT ent_b, ent_a, n_pair FROM p),
+knn AS (SELECT s, t FROM (
+          SELECT s, t,
+                 row_number() OVER (PARTITION BY s
+                                    ORDER BY n_pair DESC, t) AS rk
+          FROM arcs) WHERE rk <= 6),
+und AS MATERIALIZED (
+    SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+    FROM knn WHERE s <> t)"""
+
+
+def _lpa_round_cte(r: int) -> str:
+    """One unrolled label-propagation round (replays
+    operators/graph.label_propagation's key-embedded argmax verbatim)."""
+    return f"""lab{r} AS MATERIALIZED (
+    SELECT node, substring(min(k), 14) AS label FROM (
+        SELECT c.node,
+               lpad(CAST(999999999999 - c.cnt AS VARCHAR), 12, '0')
+                   || '|' || c.label AS k
+        FROM (SELECT adj.node, l.label, count(*) AS cnt
+              FROM adj JOIN lab{r - 1} l ON adj.nbr = l.node
+              GROUP BY 1, 2) c)
+    GROUP BY 1)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1876,20 +1929,7 @@ SELECT lang, n_docs, stratum_tokens,
 FROM d"""
 
     sql["cooccur_triangles"] = f"""WITH {_ENT_CTE},
-de AS (SELECT DISTINCT doc_id, entity FROM ent),
-p AS (SELECT a.entity AS ent_a, b.entity AS ent_b, count(*) AS n_pair
-      FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.entity < b.entity
-      GROUP BY 1, 2),
-arcs AS (SELECT ent_a AS s, ent_b AS t, n_pair FROM p
-         UNION ALL SELECT ent_b, ent_a, n_pair FROM p),
-knn AS (SELECT s, t FROM (
-          SELECT s, t,
-                 row_number() OVER (PARTITION BY s
-                                    ORDER BY n_pair DESC, t) AS rk
-          FROM arcs) WHERE rk <= 6),
-und AS MATERIALIZED (
-    SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
-    FROM knn WHERE s <> t),
+{_COOCCUR_KNN_CTE},
 deg AS MATERIALIZED (
     SELECT node, count(*) AS d
     FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
@@ -1910,6 +1950,19 @@ mem AS (SELECT node, count(*) AS t
         GROUP BY 1)
 SELECT deg.node, CAST(coalesce(mem.t, 0) AS BIGINT) AS n_triangles
 FROM deg LEFT JOIN mem ON deg.node = mem.node"""
+
+    _lpa_rounds = ",\n".join(_lpa_round_cte(r) for r in range(1, 5))
+    sql["kg_communities"] = f"""WITH {_ENT_CTE},
+{_COOCCUR_KNN_CTE},
+adj AS MATERIALIZED (
+    SELECT u AS node, v AS nbr FROM und
+    UNION ALL SELECT v, u FROM und),
+lab0 AS (SELECT DISTINCT node, node AS label FROM adj),
+{_lpa_rounds},
+sizes AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS community_size
+          FROM lab4 GROUP BY 1)
+SELECT lab4.node, lab4.label AS community, sizes.community_size
+FROM lab4 JOIN sizes ON lab4.label = sizes.community"""
 
     sql["domain_stats"] = """
 WITH pages AS (

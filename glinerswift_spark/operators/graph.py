@@ -176,6 +176,79 @@ def pagerank_integer(
     )
 
 
+LPA_COUNT_PAD = 999_999_999_999
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    iters: int = 4,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (community detection)
+    over the UNDIRECTED simple graph induced by ``edges``. Returns
+    (node, community) for every node with at least one edge.
+
+    Initial label = the node's own id; each round EVERY node adopts the
+    most frequent label among its neighbors, ties broken by the smallest
+    label string. Synchronous updates + a total tie order + a FIXED
+    iteration count make the result bit-deterministic and replayable in
+    ANSI SQL as ``iters`` unrolled CTEs (classic async LPA with random
+    visit order is neither). Oscillation on bipartite structures is
+    bounded by the fixed round count — documented semantics, matching
+    how LPA is actually deployed on static corpus snapshots.
+
+    The per-round argmax avoids a window sort: the (count, label) order
+    is embedded into one string key lpad(PAD - count) || '|' || label and
+    reduced with min(), so each round is ONE adjacency equi-join + two
+    map-side-combinable groupBys — no row_number over a skewed partition.
+    A celebrity node with 10^7 neighbors costs 10^7 count rows (the join
+    fan-out is the adjacency itself), never quadratic wedge rows.
+
+    Scale shape per round: join(adjacency, labels) shuffles on the
+    neighbor key, the two groupBys shuffle on (node, label) then node —
+    the same bounded pattern per round as pagerank_integer above;
+    localCheckpoint cuts lineage so round r replays a materialized
+    relation, not r stacked plans.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .union(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint()
+    )
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iters):
+        nb = adj.join(
+            labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+        )
+        cnt = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("__c"))
+        key = F.concat(
+            F.lpad((F.lit(LPA_COUNT_PAD) - F.col("__c")).cast("string"), 12, "0"),
+            F.lit("|"),
+            F.col("label"),
+        )
+        labels = (
+            cnt.select("node", key.alias("__k"))
+            .groupBy("node")
+            .agg(F.min("__k").alias("__k"))
+            # key prefix is exactly 13 chars (12 padded digits + '|'),
+            # so the label survives even if it contains '|' itself
+            .select("node", F.expr("substring(__k, 14)").alias("label"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "src_id",

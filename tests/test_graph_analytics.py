@@ -250,3 +250,72 @@ def test_triangle_counts_matches_bruteforce_random(spark):
             if adj[x]
         }
         assert got == want, f"trial {trial}"
+
+
+def test_label_propagation_two_cliques(spark):
+    # two 3-cliques joined by one bridge edge: LPA must settle each
+    # clique on its min node id, and the bridge must not merge them
+    # (each bridge endpoint has 2 same-clique neighbors vs 1 across).
+    from glinerswift_spark.operators.graph import label_propagation
+
+    edges = [("a1", "a2", 1), ("a1", "a3", 1), ("a2", "a3", 1),
+             ("b1", "b2", 1), ("b1", "b3", 1), ("b2", "b3", 1),
+             ("a3", "b1", 1)]
+    out = {
+        r["node"]: r["community"]
+        for r in label_propagation(_edges(spark, edges), iters=4).collect()
+    }
+    assert {out["a1"], out["a2"], out["a3"]} == {out["a1"]}
+    assert {out["b1"], out["b2"], out["b3"]} == {out["b1"]}
+    assert out["a1"] != out["b1"]
+
+
+def test_label_propagation_deterministic_and_direction_blind(spark):
+    from glinerswift_spark.operators.graph import label_propagation
+
+    edges = [("x", "y", 1), ("y", "z", 1), ("z", "w", 1)]
+    a = sorted(label_propagation(_edges(spark, edges), iters=3).collect())
+    # reversed directions + duplicate parallel edge: identical result
+    rev = [("y", "x", 1), ("z", "y", 1), ("w", "z", 1), ("x", "y", 9)]
+    b = sorted(label_propagation(_edges(spark, rev), iters=3).collect())
+    assert a == b
+    # rerun is bit-identical (determinism)
+    c = sorted(label_propagation(_edges(spark, edges), iters=3).collect())
+    assert a == c
+
+
+def test_label_propagation_matches_bruteforce_random(spark):
+    # synchronous min-tie-break LPA has a trivial python twin: assert
+    # equality on a seeded random graph (the operator's SQL-replay
+    # semantics, checked a third way).
+    import random
+
+    from glinerswift_spark.operators.graph import label_propagation
+
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    edges = sorted({
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(60)
+    })
+    iters = 4
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    lab = {n: n for n in adj}
+    for _ in range(iters):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = {}
+            for m in nbrs:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            new[n] = best[0]
+        lab = new
+    out = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            _edges(spark, [(u, v, 1) for u, v in edges]), iters=iters
+        ).collect()
+    }
+    assert out == lab
