@@ -817,6 +817,25 @@ def _q_repetition_filter(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_vocab_top(spark, sf_dir):
+    """Corpus vocabulary census: top-200 terms by total frequency with
+    document frequency (operators/textstats.vocab_stats — two map-side-
+    combinable aggs + TakeOrdered, no full sort, term skew absorbed by
+    the per-doc pre-aggregation)."""
+    from glinerswift_spark.operators.textstats import vocab_stats
+
+    return vocab_stats(_docs(spark, sf_dir), top_n=200)
+
+
+def _q_tfidf_keywords(spark, sf_dir):
+    """Top-3 tf-idf keywords per document with an integer idf
+    (operators/textstats.tfidf_keywords — BIGINT arithmetic end-to-end
+    so the oracle replays it bit-for-bit; a libm ln() would hash-drift)."""
+    from glinerswift_spark.operators.textstats import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), k=3)
+
+
 def _q_kg_pagerank(spark, sf_dir):
     """Weighted PageRank (5 iterations, damping 0.85) over the materialized
     KG edges in fixed-point BIGINT arithmetic — rank_int is bit-exact
@@ -1010,6 +1029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "events_asof": _q_events_asof,
         "repetition_filter": _q_repetition_filter,
+        "vocab_top": _q_vocab_top,
+        "tfidf_keywords": _q_tfidf_keywords,
         "kg_pagerank": _q_kg_pagerank,
         "mixture_plan": _q_mixture_plan,
         "cooccur_triangles": _q_cooccur_triangles,
@@ -1540,6 +1561,29 @@ SELECT doc_id,
        CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_types,
        CAST(length(text) AS INT) AS len_chars
 FROM documents"""
+
+    sql["vocab_top"] = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+pd AS (SELECT doc_id, term, count(*) AS tf_doc FROM t WHERE term <> '' GROUP BY 1, 2),
+v AS (SELECT term, CAST(sum(tf_doc) AS BIGINT) AS tf,
+             CAST(count(*) AS BIGINT) AS df
+      FROM pd GROUP BY 1)
+SELECT term, tf, df FROM v ORDER BY tf DESC, term LIMIT 200"""
+
+    sql["tfidf_keywords"] = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+pd AS (SELECT doc_id, term, count(*) AS tf_doc FROM t WHERE term <> '' GROUP BY 1, 2),
+dfr AS (SELECT term, count(*) AS dfreq FROM pd GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (SELECT pd.doc_id, pd.term, pd.tf_doc,
+             pd.tf_doc * ((1000000 * n.n_docs) // dfr.dfreq) AS score_int
+      FROM pd JOIN dfr ON pd.term = dfr.term CROSS JOIN n)
+SELECT doc_id, term, CAST(tf_doc AS BIGINT) AS tf,
+       CAST(score_int AS BIGINT) AS score_int
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_int DESC, term) AS rk
+      FROM s)
+WHERE rk <= 3"""
 
     stop_list = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
     sql["quality_score"] = f"""

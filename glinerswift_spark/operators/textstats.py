@@ -140,6 +140,91 @@ def repetition_stats(
     )
 
 
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 200,
+) -> DataFrame:
+    """Corpus vocabulary census: the top_n terms by total term frequency
+    (ties: term asc), each with its document frequency. The inventory a
+    tokenizer-training / stopword-mining pass needs.
+
+    Scale shape: explode -> groupBy(doc, term) -> groupBy(term) is two
+    map-side-combinable aggregations (the first bounds any one doc's
+    contribution to its distinct-term count, so a 10^6-word spam page
+    cannot flood the term shuffle with duplicate rows), then a TakeOrdered
+    top_n — no full sort, no window. Term skew ("the" at 10^10 rows)
+    lands on the FIRST groupBy where partial aggregation absorbs it
+    map-side; the second groupBy sees one row per (doc, term)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    per_doc = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf_doc")
+    )
+    agg = per_doc.groupBy("term").agg(
+        F.sum("tf_doc").alias("tf"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    return agg.orderBy(F.desc("tf"), "term").limit(top_n)
+
+
+TFIDF_IDF_SCALE = 1_000_000
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k keywords per document by tf-idf with an INTEGER idf:
+    idf_int = (SCALE * n_docs) div df, score_int = tf * idf_int — pure
+    BIGINT arithmetic, so Spark and any ANSI engine agree bit-for-bit
+    (a float ln() idf would rank identically but hash-differ in the
+    last ulp across libm implementations; documented trade: integer
+    1/df idf preserves the df-monotone ordering tf-idf needs).
+
+    Scale shape: per-doc term counts (explode + groupBy, map-side
+    combined), a document-frequency relation joined back on term (term
+    cardinality ~ vocabulary, broadcast when small; an equi-join
+    otherwise), corpus size via one crossJoin of a 1-row aggregate
+    (never a driver scalar), then a per-doc window top-k — the window
+    partitions on doc_id, which is the evenly-distributed key."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    per_doc = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf_doc")
+    )
+    dfreq = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    total = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (
+        per_doc.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "score_int",
+            F.expr(f"tf_doc * (({TFIDF_IDF_SCALE} * __n_docs) div __df)"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_int"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf_doc").cast("long").alias("tf"),
+            F.col("score_int").cast("long").alias("score_int"),
+        )
+    )
+
+
 def classify_keyword(df: DataFrame) -> DataFrame:
     """Keyword-count classifier: top-1 label by count, ties -> label asc.
 

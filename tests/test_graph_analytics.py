@@ -319,3 +319,32 @@ def test_label_propagation_matches_bruteforce_random(spark):
         ).collect()
     }
     assert out == lab
+
+
+def test_vocab_stats_and_tfidf_keywords(spark):
+    from glinerswift_spark.operators.textstats import (
+        TFIDF_IDF_SCALE,
+        tfidf_keywords,
+        vocab_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "apple  date")],
+        "doc_id int, text string",
+    )
+    vs = {r["term"]: (r["tf"], r["df"]) for r in vocab_stats(docs).collect()}
+    # double space in doc 3 produces an empty split token: must be dropped
+    assert "" not in vs
+    assert vs == {"apple": (3, 2), "banana": (2, 2), "cherry": (1, 1),
+                  "date": (1, 1)}
+    # top_n cutoff uses the (tf desc, term asc) total order
+    top2 = [r["term"] for r in vocab_stats(docs, top_n=2).collect()]
+    assert top2 == ["apple", "banana"]
+
+    kw = tfidf_keywords(docs, k=1).collect()
+    got = {r["doc_id"]: (r["term"], r["score_int"]) for r in kw}
+    # doc 1: apple tf=2 df=2 -> 2*(3M//2)=3M; banana tf=1 -> 1.5M
+    assert got[1] == ("apple", 2 * ((TFIDF_IDF_SCALE * 3) // 2))
+    # doc 2: cherry df=1 beats banana df=2 at equal tf
+    assert got[2][0] == "cherry"
+    assert got[3][0] == "date"
