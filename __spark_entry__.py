@@ -762,6 +762,31 @@ def _q_decontaminate(spark, sf_dir):
     return contamination_counts(corpus, bench, n=3, min_shared=3)
 
 
+def _q_bloom_decontaminate(spark, sf_dir):
+    """Same contamination decision as `decontaminate`, but through the
+    zero-shuffle scale path: the eval slice collapses to a fixed-size
+    md5-position Bloom bitmap broadcast to every executor, and the
+    corpus plan is Scan -> project -> Arrow UDF with no join at all
+    (operators/dedup.bloom_decontaminate). The oracle replays the exact
+    decision procedure — false positives included — since positions are
+    md5 arithmetic."""
+    from glinerswift_spark.operators.dedup import bloom_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return bloom_decontaminate(corpus, bench, n=3, min_shared=3)
+
+
+def _q_boilerplate_top(spark, sf_dir):
+    """Top-50 3-gram shingles by document frequency — the C4-style
+    boilerplate census that feeds the jaccard max_df guard
+    (operators/dedup.boilerplate_ngrams)."""
+    from glinerswift_spark.operators.dedup import boilerplate_ngrams
+
+    return boilerplate_ngrams(_docs(spark, sf_dir), n=3, top_n=50)
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic hash-bucket stratified sample: per-lang keep rates,
     membership a pure function of doc_id (resume/retry stable)."""
@@ -1030,6 +1055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _q_events_asof,
         "repetition_filter": _q_repetition_filter,
         "vocab_top": _q_vocab_top,
+        "bloom_decontaminate": _q_bloom_decontaminate,
+        "boilerplate_top": _q_boilerplate_top,
         "tfidf_keywords": _q_tfidf_keywords,
         "kg_pagerank": _q_kg_pagerank,
         "mixture_plan": _q_mixture_plan,
@@ -1852,6 +1879,33 @@ SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_shared
 FROM ex JOIN bset USING (g)
 WHERE ex.doc_id % 97 <> 0
 GROUP BY 1 HAVING count(*) >= 3"""
+
+    # replays bloom_decontaminate's md5-slice positions exactly (false
+    # positives and all): a gram hits iff ALL its distinct bit positions
+    # are present in the benchmark's position set
+    sql["bloom_decontaminate"] = f"""WITH {_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+bg AS (SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0),
+bp AS (SELECT DISTINCT
+           ('0x' || substring(md5(g), 1 + 8 * b, 8))::BIGINT % 1048576 AS p
+       FROM bg, unnest([0, 1, 2, 3]) AS t(b)),
+cg AS (SELECT DISTINCT doc_id, g FROM ex WHERE doc_id % 97 <> 0),
+cd AS (SELECT DISTINCT doc_id, g,
+           ('0x' || substring(md5(g), 1 + 8 * b, 8))::BIGINT % 1048576 AS p
+       FROM cg, unnest([0, 1, 2, 3]) AS t(b)),
+need AS (SELECT doc_id, g, count(*) AS k FROM cd GROUP BY 1, 2),
+have AS (SELECT cd.doc_id, cd.g, count(*) AS k2
+         FROM cd JOIN bp ON cd.p = bp.p GROUP BY 1, 2),
+hits AS (SELECT need.doc_id
+         FROM need JOIN have ON need.doc_id = have.doc_id AND need.g = have.g
+         WHERE have.k2 = need.k)
+SELECT doc_id, CAST(count(*) AS INT) AS n_flagged
+FROM hits GROUP BY 1 HAVING count(*) >= 3"""
+
+    sql["boilerplate_top"] = f"""WITH {_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(s) AS gram FROM sh)
+SELECT gram, CAST(count(*) AS BIGINT) AS df
+FROM ex GROUP BY 1 ORDER BY df DESC, gram LIMIT 50"""
 
     sql["stratified_sample"] = """
 WITH b AS (

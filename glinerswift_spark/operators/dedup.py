@@ -24,6 +24,7 @@ __spark_entry__.py runs the same formulas verbatim.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from glinerswift_spark.functions.hashing import (
@@ -250,6 +251,137 @@ def contamination_counts(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    top_n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide boilerplate census: the top_n n-gram shingles by
+    DOCUMENT frequency (ties: gram asc) — the C4-style "same line in
+    many documents" detector that feeds both the ngram-jaccard max_df
+    guard and line-level boilerplate stripping.
+
+    Scale shape: per-doc shingles are distinct by construction
+    (doc_shingles), so one groupBy(gram).count() IS document frequency —
+    map-side partial aggregation absorbs the hot grams, and the top_n
+    is a TakeOrdered, never a full sort."""
+    ex = doc_shingles(df, n, text_col, id_col).select(
+        F.explode("shingles").alias("gram")
+    )
+    return (
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "gram")
+        .limit(top_n)
+    )
+
+
+BLOOM_NUM_BITS = 1 << 20
+BLOOM_NUM_HASHES = 4
+
+
+def bloom_positions_expr(gram_col, num_bits: int = BLOOM_NUM_BITS):
+    """k Bloom bit positions per gram: the 4 disjoint 8-hex slices of ONE
+    md5(gram), each mod num_bits — one hash call yields all k positions
+    (the md5-slicing trick the MinHash bands already use), and the
+    arithmetic is replayable verbatim in ANSI SQL."""
+    return F.array(*[
+        (
+            F.conv(F.substring(F.md5(gram_col), 1 + 8 * i, 8), 16, 10)
+            .cast("long") % num_bits
+        )
+        for i in range(BLOOM_NUM_HASHES)
+    ])
+
+
+def build_bloom_bits(
+    benchmark: DataFrame,
+    n: int = 3,
+    num_bits: int = BLOOM_NUM_BITS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Aggregate the benchmark's n-gram Bloom filter: a numpy bool array
+    of ``num_bits`` entries. The ONLY driver-side materialization is the
+    distinct bit-position relation — bounded by num_bits (2^20 -> a
+    128 KiB bitmap once packed), NOT by benchmark size; eval suites of
+    any row count collapse to the same fixed-size filter."""
+    import numpy as np
+
+    pos = (
+        doc_shingles(benchmark, n, text_col, id_col)
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+        .select(F.explode(bloom_positions_expr(F.col("gram"), num_bits)).alias("p"))
+        .distinct()
+    )
+    bits = np.zeros(num_bits, dtype=bool)
+    idx = np.fromiter((r["p"] for r in pos.toLocalIterator()), dtype=np.int64)
+    if idx.size:
+        bits[idx] = True
+    return bits
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_shared: int = 1,
+    num_bits: int = BLOOM_NUM_BITS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Eval-leakage filter WITHOUT a corpus-side shuffle: (doc_id,
+    n_flagged) for corpus docs whose distinct n-grams hit the
+    benchmark's Bloom filter >= min_shared times.
+
+    Where contamination_counts joins corpus shingles against the
+    benchmark set (fine when AQE broadcasts the eval side),
+    this is the 100 TB shape: the benchmark collapses to a fixed-size
+    bitmap broadcast to every executor, and the corpus plan is
+    Scan -> project -> Arrow pandas UDF -> local filter — ZERO shuffle,
+    zero join, one pass. False-positive rate is the standard
+    (1-e^(-kn/m))^k, and the decision procedure is EXACTLY replayable
+    (oracle included, false positives and all) because the positions are
+    md5 arithmetic, not a seeded private hash.
+
+    Bit positions are computed JVM-side (bloom_positions_expr, one md5
+    per gram); the Python side only does the numpy bitmap gather."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    bits = build_bloom_bits(benchmark, n, num_bits, text_col, id_col)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(bits)
+    k = BLOOM_NUM_HASHES
+
+    @pandas_udf("int")
+    def n_flagged(pos_lists: pd.Series) -> pd.Series:
+        b = bc.value
+        out = np.empty(len(pos_lists), dtype=np.int32)
+        for i, doc_pos in enumerate(pos_lists):
+            if doc_pos is None or len(doc_pos) == 0:
+                out[i] = 0
+                continue
+            flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in doc_pos])
+            hits = b[flat].reshape(-1, k)
+            out[i] = int(hits.all(axis=1).sum())
+        return pd.Series(out)
+
+    pos = doc_shingles(df, n, text_col, id_col).select(
+        F.col(id_col),
+        F.transform(
+            "shingles", lambda g: bloom_positions_expr(g, num_bits)
+        ).alias("__pos"),
+    )
+    return (
+        pos.select(id_col, n_flagged(F.col("__pos")).alias("n_flagged"))
+        .where(F.col("n_flagged") >= min_shared)
     )
 
 

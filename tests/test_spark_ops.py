@@ -317,3 +317,69 @@ def test_checkpoint_partial_resume_processes_only_missing_buckets(spark, docs, t
     )
     assert seen_rows == [40, expected_victim_rows]
     assert sorted(r.doc_id for r in resumed) == sorted(r.doc_id for r in full)
+
+
+def test_bloom_decontaminate_matches_join_path(spark):
+    # the Bloom fast path must reach the same verdicts as the exact
+    # shingle join (contamination_counts) — with 2^20 bits and a tiny
+    # benchmark the false-positive probability is ~(1e-5)^4 per gram,
+    # so set equality (not superset) is the right assertion here.
+    from glinerswift_spark.operators.dedup import (
+        bloom_decontaminate,
+        contamination_counts,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon contaminated"),  # 3 shared
+            (2, "zeta eta theta iota kappa lambda"),             # 0 shared
+            (3, "beta gamma delta epsilon zeta more text"),      # 3 shared
+            (4, "completely unrelated words here now"),          # 0 shared
+        ],
+        "doc_id int, text string",
+    )
+    exact = {
+        (r["doc_id"], r["n_shared"])
+        for r in contamination_counts(corpus, bench, n=3, min_shared=2).collect()
+    }
+    bloom = {
+        (r["doc_id"], r["n_flagged"])
+        for r in bloom_decontaminate(corpus, bench, n=3, min_shared=2).collect()
+    }
+    assert bloom == exact and {d for d, _ in exact} == {1, 3}
+
+
+def test_bloom_decontaminate_plan_has_no_join(spark):
+    # the whole point of the Bloom path: the corpus side never joins —
+    # benchmark knowledge travels as a broadcast bitmap, not a relation.
+    from glinerswift_spark.operators.dedup import bloom_decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "a b c d e")], "doc_id int, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "a b c x y"), (2, "p q r s t")], "doc_id int, text string"
+    )
+    plan = bloom_decontaminate(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_boilerplate_ngrams_counts_document_frequency(spark):
+    from glinerswift_spark.operators.dedup import boilerplate_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox the quick brown"),  # dup gram within doc
+            (2, "the quick brown bear"),
+            (3, "one two three four"),
+        ],
+        "doc_id int, text string",
+    )
+    top = boilerplate_ngrams(docs, n=3, top_n=2).collect()
+    # "the quick brown" appears twice in doc 1 but counts once per doc
+    assert top[0]["gram"] == "the quick brown" and top[0]["df"] == 2
+    assert top[1]["df"] == 1
