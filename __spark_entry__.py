@@ -174,6 +174,19 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_ann_sq8(spark, sf_dir):
+    """SQ8 scalar-quantized ANN: cosine over codes dequantized from
+    per-dimension min/max 8-bit quantization (operators/similarity.
+    sq8_topk) — the memory-bound deployment shape (4x smaller corpus
+    residency). Codes and scores use only IEEE +,-,*,/,sqrt, so the
+    oracle replays both exactly."""
+    from glinerswift_spark.operators.similarity import sq8_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return sq8_topk(emb, queries, k=ANN_K)
+
+
 def _q_kg_entities_chunked(spark, sf_dir):
     """Sliding-window chunking + cross-chunk merge (W4 + J2) on real data:
     chunk_max_words is forced to 40 so most documents split into
@@ -1022,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
+        "ann_sq8": _q_ann_sq8,
         "structure_fields": _q_structure_fields,
         "structure_instances": _q_structure_instances,
         "schema_entities": _q_schema_entities,
@@ -1456,6 +1470,35 @@ ranked AS (
     FROM scored
 )
 SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, cos FROM ranked WHERE rk <= {ANN_K}"""
+
+    sql["ann_sq8"] = f"""WITH {_COS_CTE},
+st AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+       FROM __e, unnest(generate_series(1, len(v))) AS t(i) GROUP BY 1),
+mm AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM st),
+qz AS (SELECT vec_id,
+              list_transform(generate_series(1, len(v)), i ->
+                  CASE WHEN maxs[i] = mins[i] THEN 0
+                       ELSE CAST(least(255.0, greatest(0.0,
+                            floor((v[i] - mins[i]) * 255.0
+                                  / (maxs[i] - mins[i])))) AS INT) END) AS q
+       FROM __e, mm),
+dq AS (SELECT vec_id,
+              list_transform(generate_series(1, len(q)), i ->
+                  mins[i] + CAST(q[i] AS DOUBLE) * (maxs[i] - mins[i]) / 255.0)
+                  AS dv
+       FROM qz, mm),
+nn AS (SELECT vec_id, dv,
+              sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm FROM dq),
+s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, len(a.dv)),
+                  i -> a.dv[i] * b.dv[i])) / (a.nrm * b.nrm), 6) AS cos
+      FROM nn a JOIN nn b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id % {ANN_QUERY_MOD} = 0)
+SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM s)
+WHERE rk <= {ANN_K}"""
 
     all_terms = OPERATOR_TERMS + OBJECT_TERMS
     lex2_vals = ",\n    ".join(f"('{t}')" for t in all_terms)

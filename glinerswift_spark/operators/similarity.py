@@ -251,3 +251,119 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+SQ8_LEVELS = 255
+
+
+def sq8_quantize_expr(vec_col, mins_col, maxs_col):
+    """Per-dimension int8-style scalar quantization to [0, 255]:
+    q_i = clamp(floor((x_i - min_i) * 255 / (max_i - min_i))), with
+    constant dimensions (max == min) pinned to 0. Every step is IEEE
+    +,-,*,/ then floor — bit-deterministic across engines (no libm), so
+    the DuckDB oracle replays codes AND scores exactly. (Spark SQL
+    array subscripts are 0-based; the DuckDB twin uses 1-based.)"""
+    return F.expr(
+        f"""transform({vec_col}, (x, i) -> CASE
+            WHEN {maxs_col}[i] = {mins_col}[i] THEN 0
+            ELSE CAST(least({SQ8_LEVELS}.0D, greatest(0.0D,
+                floor((CAST(x AS DOUBLE) - {mins_col}[i]) * {SQ8_LEVELS}.0D
+                      / ({maxs_col}[i] - {mins_col}[i])))) AS INT)
+            END)"""
+    )
+
+
+def sq8_dequantize_expr(codes_col, mins_col, maxs_col):
+    """Reconstruct approximate values from SQ8 codes:
+    v̂_i = min_i + q_i * (max_i - min_i) / 255 (constant dims -> min_i).
+    Same IEEE-only arithmetic discipline as quantization."""
+    return F.expr(
+        f"""transform({codes_col}, (q, i) ->
+            {mins_col}[i] + CAST(q AS DOUBLE) * ({maxs_col}[i] - {mins_col}[i])
+                / {SQ8_LEVELS}.0D)"""
+    )
+
+
+def sq8_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cos) — approximate top-k by cosine
+    over DEQUANTIZED scalar-quantized (SQ8) codes: each vector is stored
+    as 8-bit per-dimension codes (a float32 corpus shrinks 4x — the
+    difference between spilling and staying resident at 10^12 vectors)
+    and reconstructed on the fly as min_i + q_i * (max_i - min_i)/255
+    before the cosine. A raw dot product of the offset codes would NOT
+    rank like cosine (all-positive codes make it track magnitude, not
+    angle — measured recall ~0), so reconstruction is the semantics.
+
+    Training is one per-dimension min/max aggregation over the corpus
+    (posexplode -> groupBy(dim) — map-side combined, output rows = dim),
+    packed into a ONE-ROW (mins, maxs) pair broadcast onto both sides —
+    the same no-driver-collect packing as ivf_topk's centroids. Corpus
+    pass: scan -> quantize+dequantize (codegen) -> cosine vs broadcast
+    queries -> per-query top-k via WindowGroupLimit; the corpus is never
+    shuffled, ties break by neighbor id. Every scoring step is IEEE
+    +,-,*,/ and sqrt (correctly rounded by IEEE 754 — no libm), rounded
+    to 6, so the DuckDB oracle replays codes AND ranking exactly."""
+    stats = (
+        emb.select(F.posexplode(vec_col).alias("__pos", "__x"))
+        .groupBy("__pos")
+        .agg(
+            F.min(F.col("__x").cast("double")).alias("__mn"),
+            F.max(F.col("__x").cast("double")).alias("__mx"),
+        )
+    )
+    stat_row = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("__pos", "__mn", "__mx"))
+        ).alias("__s")
+    ).select(
+        F.expr("transform(__s, s -> s.__mn)").alias("__mins"),
+        F.expr("transform(__s, s -> s.__mx)").alias("__maxs"),
+    )
+    from glinerswift_spark.functions.hashing import l2_norm
+
+    def dequantized(side_df, out_id):
+        codes = sq8_quantize_expr("__v", "__mins", "__maxs")
+        return (
+            side_df.crossJoin(F.broadcast(stat_row))
+            .select(out_id, codes.alias("__q"), "__mins", "__maxs")
+            .select(
+                out_id,
+                sq8_dequantize_expr("__q", "__mins", "__maxs").alias("__dv"),
+            )
+            .select(out_id, "__dv", l2_norm(F.col("__dv")).alias("__nrm"))
+        )
+
+    q = dequantized(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__v")),
+        "query_id",
+    ).toDF("query_id", "__qv", "__qnrm")
+    c = dequantized(
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")),
+        "neighbor_id",
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_product(F.col("__qv"), F.col("__dv"))
+                / (F.col("__qnrm") * F.col("__nrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

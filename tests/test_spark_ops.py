@@ -383,3 +383,40 @@ def test_boilerplate_ngrams_counts_document_frequency(spark):
     # "the quick brown" appears twice in doc 1 but counts once per doc
     assert top[0]["gram"] == "the quick brown" and top[0]["df"] == 2
     assert top[1]["df"] == 1
+
+
+def test_sq8_quantization_codes_and_edges(spark):
+    from glinerswift_spark.operators.similarity import sq8_topk
+
+    # dim 0 spans [0, 1]; dim 1 is CONSTANT (must quantize to 0 not NaN);
+    # dim 2 spans [-2, 2]
+    emb = spark.createDataFrame(
+        [(1, [0.0, 5.0, -2.0]), (2, [1.0, 5.0, 2.0]), (3, [0.5, 5.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    out = sq8_topk(emb, emb.where(F.col("vec_id") == 1), k=2).collect()
+    got = {(r["rank"]): (r["neighbor_id"], r["cos"]) for r in out}
+    # codes: v1=[0,0,0], v2=[255,0,255], v3=[127,0,127]; dequantized the
+    # constant dim reconstructs to exactly 5.0 (no NaN/zero-div), and v3
+    # (~[0.498, 5, -0.008]) is much closer in angle to v1 than v2 is
+    assert got[1][0] == 3 and got[2][0] == 2
+    assert all(v[1] is not None and v[1] == v[1] for v in got.values())
+
+
+def test_sq8_topk_recall_vs_exact(spark):
+    # quantized ranking should recover most exact-cosine neighbors on the
+    # real embeddings table (recall@5 >= 0.6 is loose; observed ~0.9)
+    from glinerswift_spark.operators.similarity import cosine_topk, sq8_topk
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001")
+    queries = emb.where(F.col("vec_id") % 97 == 0)
+    exact = {}
+    for r in cosine_topk(emb, queries, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in sq8_topk(emb, queries, k=5).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(approx) == set(exact)
+    hits = sum(len(exact[q] & approx[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.6, f"recall {hits}/{total}"
