@@ -425,6 +425,16 @@ def _q_kg_edges(spark, sf_dir):
     return kg["edges"].select("src_id", "pred", "dst_id", "weight")
 
 
+def _q_kg_metapaths(spark, sf_dir):
+    """Weighted 2-hop metapath counts per start node over the
+    materialized KG (operators/graph.metapath2_counts): the second hop
+    is pre-aggregated per (mid, pred) before joining, so hub middle
+    nodes never fan out quadratically; BIGINT sums replay exactly."""
+    from glinerswift_spark.operators.graph import metapath2_counts
+
+    return metapath2_counts(_q_kg_edges(spark, sf_dir))
+
+
 def _q_kg_entities_phrases(spark, sf_dir):
     """Multi-word span extraction + greedy flat NMS, oracle-checkable:
     the phrase 'table scan' (score 0.70) beats its component words
@@ -1076,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": _q_mixture_plan,
         "cooccur_triangles": _q_cooccur_triangles,
         "kg_communities": _q_kg_communities,
+        "kg_metapaths": _q_kg_metapaths,
         "domain_stats": _q_domain_stats,
         "node_centroids": _q_node_centroids,
     }
@@ -1392,6 +1403,27 @@ resolved AS (
 )
 SELECT src_id, pred, dst_id, count(*) AS weight
 FROM resolved GROUP BY 1, 2, 3"""
+
+    sql["kg_metapaths"] = f"""WITH RECURSIVE {_TRIPLE_CTE},
+{_LINKING_CTE},
+smap AS (
+    SELECT lower(text) AS surface, min(canonical_id) AS canonical_id
+    FROM mm GROUP BY 1
+),
+resolved AS (
+    SELECT s1.canonical_id AS src_id, t.pred, s2.canonical_id AS dst_id
+    FROM trip t
+    JOIN smap s1 ON lower(t.subj) = s1.surface
+    JOIN smap s2 ON lower(t.obj) = s2.surface
+),
+e AS (SELECT src_id, pred, dst_id, CAST(count(*) AS BIGINT) AS w
+      FROM resolved GROUP BY 1, 2, 3),
+bout AS (SELECT src_id AS mid, pred AS pred_b, sum(w) AS w2
+         FROM e GROUP BY 1, 2)
+SELECT e.src_id AS node, e.pred AS pred_a, bout.pred_b,
+       CAST(sum(e.w * bout.w2) AS BIGINT) AS n_paths
+FROM e JOIN bout ON e.dst_id = bout.mid
+GROUP BY 1, 2, 3"""
 
     sql["exact_dedup"] = """
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keeper

@@ -348,3 +348,28 @@ def test_vocab_stats_and_tfidf_keywords(spark):
     # doc 2: cherry df=1 beats banana df=2 at equal tf
     assert got[2][0] == "cherry"
     assert got[3][0] == "date"
+
+
+def test_metapath2_counts_matches_bruteforce(spark):
+    # the sum-of-products formulation must equal naive path enumeration
+    from itertools import product
+
+    from glinerswift_spark.operators.graph import metapath2_counts
+
+    edges = [("a", "likes", "hub", 2), ("b", "cites", "hub", 1),
+             ("hub", "links", "x", 3), ("hub", "cites", "y", 1),
+             ("x", "links", "y", 5)]
+    want = {}
+    for (s1, p1, d1, w1), (s2, p2, d2, w2) in product(edges, edges):
+        if d1 == s2:
+            k = (s1, p1, p2)
+            want[k] = want.get(k, 0) + w1 * w2
+    got = {
+        (r["node"], r["pred_a"], r["pred_b"]): r["n_paths"]
+        for r in metapath2_counts(
+            spark.createDataFrame(
+                edges, "src_id string, pred string, dst_id string, weight long"
+            )
+        ).collect()
+    }
+    assert got == want
