@@ -865,6 +865,36 @@ def _q_repetition_filter(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_pii_scan(spark, sf_dir):
+    """PII census + redaction (operators/textstats.pii_scan) over text
+    with deterministic synthetic PII (email/IP per doc, phone for every
+    third) appended — the synthetic corpus carries none, and the
+    synthesis is replayed verbatim by the oracle, like the URL census.
+    Counts and redacted bytes are both value-compared."""
+    from glinerswift_spark.operators.textstats import pii_scan
+
+    docs = _docs(spark, sf_dir)
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail-"),
+        F.col("lang"),
+        F.lit(".example.com or 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" +44 555-9"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return pii_scan(docs.withColumn("text", pii_text))
+
+
 def _q_vocab_top(spark, sf_dir):
     """Corpus vocabulary census: top-200 terms by total frequency with
     document frequency (operators/textstats.vocab_stats — two map-side-
@@ -1082,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": _q_bloom_decontaminate,
         "boilerplate_top": _q_boilerplate_top,
         "tfidf_keywords": _q_tfidf_keywords,
+        "pii_scan": _q_pii_scan,
         "kg_pagerank": _q_kg_pagerank,
         "mixture_plan": _q_mixture_plan,
         "cooccur_triangles": _q_cooccur_triangles,
@@ -1663,6 +1694,38 @@ SELECT doc_id,
        CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_types,
        CAST(length(text) AS INT) AS len_chars
 FROM documents"""
+
+    from glinerswift_spark.operators.textstats import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+    )
+
+    sql["pii_scan"] = f"""
+WITH p AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail-'
+                || lang || '.example.com or 10.'
+                || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                || CAST(doc_id % 250 AS VARCHAR)
+                || (CASE WHEN doc_id % 3 = 0
+                         THEN ' +44 555-9'
+                              || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+                         ELSE '' END) AS t
+    FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{PII_IPV4}')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS INT) AS n_phone,
+       (len(regexp_extract_all(t, '{PII_EMAIL}'))
+        + len(regexp_extract_all(t, '{PII_IPV4}'))
+        + len(regexp_extract_all(t, '{PII_PHONE}'))) > 0 AS has_pii,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_IPV4}', '<IP>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM p"""
 
     sql["vocab_top"] = """
 WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -140,6 +140,47 @@ def repetition_stats(
     )
 
 
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{1,3} \d{3}-\d{4,6}"
+
+
+def pii_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII census + redaction: counts of email / IPv4 /
+    international-phone matches and the text with each match class
+    replaced by a typed placeholder — the standard pre-training scrub
+    pass. Pure column regexps (whole-stage codegen, zero Python, scan
+    speed at any scale).
+
+    Patterns deliberately use only the regex subset where Java (Spark)
+    and RE2 (DuckDB/engines) agree — character classes, bounded repeats,
+    \\b — no lookaround, so the oracle replays counts AND redacted bytes
+    exactly. Redaction order (email, then IPv4, then phone) is part of
+    the contract: an email's host can contain digits-and-dots that the
+    IPv4 pattern would otherwise claim."""
+    t = F.col(text_col)
+    n = lambda p: F.coalesce(  # noqa: E731 — local expr shorthand
+        F.size(F.regexp_extract_all(t, F.lit(p), F.lit(0))), F.lit(0)
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return df.select(
+        id_col,
+        n(PII_EMAIL).alias("n_email"),
+        n(PII_IPV4).alias("n_ipv4"),
+        n(PII_PHONE).alias("n_phone"),
+        (n(PII_EMAIL) + n(PII_IPV4) + n(PII_PHONE) > 0).alias("has_pii"),
+        redacted.alias("redacted"),
+    )
+
+
 def vocab_stats(
     df: DataFrame,
     text_col: str = "text",

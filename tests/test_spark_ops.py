@@ -420,3 +420,26 @@ def test_sq8_topk_recall_vs_exact(spark):
     hits = sum(len(exact[q] & approx[q]) for q in exact)
     total = sum(len(exact[q]) for q in exact)
     assert hits / total >= 0.6, f"recall {hits}/{total}"
+
+
+def test_pii_scan_counts_and_redaction_order(spark):
+    from glinerswift_spark.operators.textstats import pii_scan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x9.co and b@y.org, ip 10.0.0.1, call +44 123-45678"),
+            (2, "clean text with version 1.2 and no contacts"),
+            (3, "server at 192.168.254.254 only"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (2, 1, 1)
+    # email redacted BEFORE ipv4, so the digit-dot host x9.co never
+    # becomes a spurious <IP>
+    assert out[1]["redacted"] == (
+        "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE>"
+    )
+    assert not out[2]["has_pii"] and out[2]["redacted"] == out[2]["redacted"]
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[3]["n_ipv4"] == 1 and out[3]["has_pii"]
