@@ -137,6 +137,18 @@ def _q_near_dedup_components(spark, sf_dir):
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 
+def _q_dedup_kept(spark, sf_dir):
+    """The kept training corpus after exact + near-dup dedup
+    (operators/dedup.dedup_corpus_keep): exact keepers intersected with
+    near-dup component representatives, with lang and token count — the
+    manifest the mixture planner consumes."""
+    from glinerswift_spark.operators.dedup import dedup_corpus_keep
+
+    return dedup_corpus_keep(
+        _docs(spark, sf_dir), n=3, threshold=JACCARD_TAU, max_df=NGRAM_MAX_DF
+    )
+
+
 SIMHASH_MAX_HAMMING = 3
 
 
@@ -1071,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "simhash_pairs": _q_simhash_pairs,
         "near_dedup_components": _q_near_dedup_components,
+        "dedup_kept": _q_dedup_kept,
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
@@ -1510,6 +1523,24 @@ reach(a, b) AS (
     SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
 )
 SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a"""
+
+    sql["dedup_kept"] = f"""WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+dup AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= {JACCARD_TAU}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+          UNION SELECT doc_b, doc_a FROM dup),
+reach(a, b) AS (
+    SELECT DISTINCT a, a FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+ek AS (SELECT min(doc_id) AS keeper FROM documents GROUP BY md5(text))
+SELECT d.doc_id, d.lang,
+       CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens
+FROM documents d
+JOIN ek ON d.doc_id = ek.keeper
+LEFT JOIN comp ON comp.doc_id = d.doc_id
+WHERE comp.doc_id IS NULL OR comp.component = d.doc_id"""
 
     sql["embedding_neardup"] = f"""WITH {_COS_CTE}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -254,6 +254,50 @@ def contamination_counts(
     )
 
 
+def dedup_corpus_keep(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The end-to-end dedup pipeline consumer: the KEPT training corpus
+    after (1) exact dedup (min-id keeper per identical text) and
+    (2) near-dup canonicalization (min-id representative per jaccard
+    connected component). Returns (doc_id, lang, n_tokens) for survivors
+    — the training-shard manifest every downstream mixture/sampling
+    stage consumes.
+
+    Scale shape: exact keepers are one md5-groupBy + a semi-join back on
+    id; near-dup non-representatives are an ANTI-join against the
+    component relation (bounded by #near-dup docs, a small fraction of
+    the corpus — the anti-join's small side). Composes the already
+    guarded/banded pair generation; nothing new shuffles corpus-wide."""
+    from glinerswift_spark.operators.components import connected_components
+
+    keepers = exact_dedup(df, text_col, id_col).select(
+        F.col("keeper").alias(id_col)
+    )
+    pairs = ngram_jaccard_pairs(
+        df, n=n, threshold=threshold, max_df=max_df,
+        text_col=text_col, id_col=id_col,
+    )
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    non_reps = cc.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return (
+        df.join(keepers, id_col, "semi")
+        .join(non_reps, id_col, "anti")
+        .select(
+            id_col,
+            "lang",
+            F.size(words_col(text_col)).alias("n_tokens"),
+        )
+    )
+
+
 def boilerplate_ngrams(
     df: DataFrame,
     n: int = 3,

@@ -443,3 +443,23 @@ def test_pii_scan_counts_and_redaction_order(spark):
     assert not out[2]["has_pii"] and out[2]["redacted"] == out[2]["redacted"]
     assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
     assert out[3]["n_ipv4"] == 1 and out[3]["has_pii"]
+
+
+def test_dedup_corpus_keep_combines_exact_and_near(spark):
+    from glinerswift_spark.operators.dedup import dedup_corpus_keep
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en"),                 # kept: exact keeper + component rep
+            (2, base, "en"),                 # dropped: exact duplicate of 1
+            (3, base + " tail", "en"),       # dropped: near-dup of 1 (component rep is 1)
+            (4, "totally different words entirely here now yes", "de"),  # kept
+        ],
+        "doc_id long, text string, lang string",
+    )
+    kept = {r["doc_id"]: r["n_tokens"] for r in dedup_corpus_keep(
+        docs, n=3, threshold=0.5, max_df=1000
+    ).collect()}
+    assert set(kept) == {1, 4}
+    assert kept[1] == 13 and kept[4] == 7
