@@ -437,6 +437,16 @@ def _q_kg_edges(spark, sf_dir):
     return kg["edges"].select("src_id", "pred", "dst_id", "weight")
 
 
+def _q_kg_kcore(spark, sf_dir):
+    """3-core of the entity co-occurrence kNN graph via 4 rounds of
+    synchronous peeling (operators/graph.kcore_nodes) — the dense
+    backbone the community/triangle queries key off; fixed rounds make
+    it bit-deterministic and unrolled-CTE replayable."""
+    from glinerswift_spark.operators.graph import kcore_nodes
+
+    return kcore_nodes(_cooccur_knn(spark, sf_dir), k=3, rounds=4, src="s", dst="t")
+
+
 def _q_kg_metapaths(spark, sf_dir):
     """Weighted 2-hop metapath counts per start node over the
     materialized KG (operators/graph.metapath2_counts): the second hop
@@ -1131,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccur_triangles": _q_cooccur_triangles,
         "kg_communities": _q_kg_communities,
         "kg_metapaths": _q_kg_metapaths,
+        "kg_kcore": _q_kg_kcore,
         "domain_stats": _q_domain_stats,
         "node_centroids": _q_node_centroids,
     }
@@ -1308,6 +1319,19 @@ knn AS (SELECT s, t FROM (
 und AS MATERIALIZED (
     SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
     FROM knn WHERE s <> t)"""
+
+
+def _kcore_round_cte(r: int, k: int) -> str:
+    """One unrolled k-core peeling round (replays
+    operators/graph.kcore_nodes: edges among survivors -> degree ->
+    threshold)."""
+    return f"""ke{r} AS (SELECT und.u, und.v FROM und
+    JOIN kal{r - 1} a ON und.u = a.node
+    JOIN kal{r - 1} b ON und.v = b.node),
+kd{r} AS (SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+          FROM (SELECT u AS node FROM ke{r} UNION ALL SELECT v FROM ke{r})
+          GROUP BY 1),
+kal{r} AS (SELECT node FROM kd{r} WHERE core_deg >= {k})"""
 
 
 def _lpa_round_cte(r: int) -> str:
@@ -2217,6 +2241,13 @@ mem AS (SELECT node, count(*) AS t
         GROUP BY 1)
 SELECT deg.node, CAST(coalesce(mem.t, 0) AS BIGINT) AS n_triangles
 FROM deg LEFT JOIN mem ON deg.node = mem.node"""
+
+    _kcore_rounds = ",\n".join(_kcore_round_cte(r, 3) for r in range(1, 5))
+    sql["kg_kcore"] = f"""WITH {_ENT_CTE},
+{_COOCCUR_KNN_CTE},
+kal0 AS (SELECT u AS node FROM und UNION SELECT v FROM und),
+{_kcore_rounds}
+SELECT node, core_deg FROM kd4 WHERE core_deg >= 3"""
 
     _lpa_rounds = ",\n".join(_lpa_round_cte(r) for r in range(1, 5))
     sql["kg_communities"] = f"""WITH {_ENT_CTE},

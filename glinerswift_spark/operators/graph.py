@@ -286,6 +286,54 @@ def label_propagation(
     return labels.select("node", F.col("label").alias("community"))
 
 
+def kcore_nodes(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """k-core peeling over the UNDIRECTED simple graph induced by
+    ``edges``: repeatedly delete nodes with degree < k, a FIXED number of
+    ``rounds`` times (synchronous deletion). Returns (node, core_deg)
+    for survivors, core_deg being the degree among the previous round's
+    survivors.
+
+    The fixed round count makes the result bit-deterministic and
+    SQL-replayable as unrolled CTEs (same discipline as
+    label_propagation); true k-core needs peeling to a fixed point,
+    which R rounds reach whenever no deletion cascade is longer than R —
+    tests pin convergence on chain cascades, and callers pick ``rounds``
+    per graph diameter expectations. Each round is two semi-joins (edge
+    endpoints against the alive set) + one degree groupBy — per-round
+    cost shrinks as the graph peels, and nothing is ever all-pairs."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    alive = und.select(F.col("u").alias("node")).union(
+        und.select(F.col("v").alias("node"))
+    ).distinct()
+    deg = None
+    for _ in range(rounds):
+        e = und.join(
+            alive.select(F.col("node").alias("u")), "u", "semi"
+        ).join(alive.select(F.col("node").alias("v")), "v", "semi")
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+        )
+        alive = deg.where(F.col("core_deg") >= k).select("node").localCheckpoint()
+    return deg.where(F.col("core_deg") >= k).select("node", "core_deg")
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "src_id",

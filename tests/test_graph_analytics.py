@@ -373,3 +373,48 @@ def test_metapath2_counts_matches_bruteforce(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_kcore_peels_chain_cascade(spark):
+    from glinerswift_spark.operators.graph import kcore_nodes
+
+    # triangle with a pendant chain: 2-core must peel the chain one node
+    # per round (cascade) and keep exactly the triangle
+    edges = [("a", "b", 1), ("b", "c", 1), ("a", "c", 1),
+             ("c", "d", 1), ("d", "e", 1), ("e", "f", 1)]
+    out = {r["node"]: r["core_deg"] for r in kcore_nodes(
+        _edges(spark, edges), k=2, rounds=4
+    ).collect()}
+    assert out == {"a": 2, "b": 2, "c": 2}
+    # rounds too few for the cascade length -> documented partial peel
+    partial = {r["node"] for r in kcore_nodes(
+        _edges(spark, edges), k=2, rounds=1
+    ).collect()}
+    assert partial == {"a", "b", "c", "d", "e"}
+
+
+def test_kcore_matches_bruteforce_random(spark):
+    import random
+
+    from glinerswift_spark.operators.graph import kcore_nodes
+
+    rng = random.Random(11)
+    nodes = [f"n{i:02d}" for i in range(24)]
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(55)})
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    # python twin: synchronous peeling to fixed point
+    alive = set(adj)
+    while True:
+        deg = {n: len(adj[n] & alive) for n in alive}
+        nxt = {n for n in alive if deg[n] >= 3}
+        if nxt == alive:
+            break
+        alive = nxt
+    want = {n: len(adj[n] & alive) for n in alive}
+    got = {r["node"]: r["core_deg"] for r in kcore_nodes(
+        _edges(spark, [(u, v, 1) for u, v in edges]), k=3, rounds=8
+    ).collect()}
+    assert got == want
