@@ -887,6 +887,20 @@ def _q_repetition_filter(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_vocab_sketch(spark, sf_dir):
+    """KMV distinct-count sketch of the corpus vocabulary
+    (operators/sketches.kmv_distinct, k=256): fixed-size TakeOrdered
+    state instead of a full countDistinct shuffle — the 10^12-scale
+    cardinality answer; md5-based so the oracle replays the sketch and
+    estimate bit-for-bit (HLL register layouts never could)."""
+    from glinerswift_spark.operators.sketches import kmv_distinct
+
+    words = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    return kmv_distinct(words, "term", k=256)
+
+
 def _q_pii_scan(spark, sf_dir):
     """PII census + redaction (operators/textstats.pii_scan) over text
     with deterministic synthetic PII (email/IP per doc, phone for every
@@ -1136,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_top": _q_boilerplate_top,
         "tfidf_keywords": _q_tfidf_keywords,
         "pii_scan": _q_pii_scan,
+        "vocab_sketch": _q_vocab_sketch,
         "kg_pagerank": _q_kg_pagerank,
         "mixture_plan": _q_mixture_plan,
         "cooccur_triangles": _q_cooccur_triangles,
@@ -1781,6 +1796,21 @@ SELECT doc_id,
                '{PII_IPV4}', '<IP>', 'g'),
            '{PII_PHONE}', '<PHONE>', 'g') AS redacted
 FROM p"""
+
+    sql["vocab_sketch"] = """
+WITH t AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+           FROM documents),
+h AS (SELECT DISTINCT
+          ('0x' || substring(md5(term), 1, 8))::BIGINT + 1 AS hv
+      FROM t WHERE term <> ''
+      ORDER BY hv LIMIT 256),
+a AS (SELECT CAST(count(*) AS INT) AS k_used, max(hv) AS hk FROM h)
+SELECT k_used,
+       round(hk / 4294967296.0, 10) AS kth_hash_frac,
+       round(CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+                  ELSE (k_used - 1) / (hk / 4294967296.0) END, 4)
+           AS est_distinct
+FROM a"""
 
     sql["vocab_top"] = """
 WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

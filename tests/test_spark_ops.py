@@ -463,3 +463,25 @@ def test_dedup_corpus_keep_combines_exact_and_near(spark):
     ).collect()}
     assert set(kept) == {1, 4}
     assert kept[1] == 13 and kept[4] == 7
+
+
+def test_kmv_distinct_sketch(spark):
+    from glinerswift_spark.operators.sketches import kmv_distinct
+
+    # below resolution: the sketch IS the distinct set -> exact count
+    small = spark.createDataFrame(
+        [(v,) for v in ["a", "b", "c", "a", "b"]], "v string"
+    )
+    r = kmv_distinct(small, "v", k=256).first()
+    assert r["k_used"] == 3 and r["est_distinct"] == 3.0
+
+    # above resolution: estimate within 20% of truth for 5000 distincts
+    big = spark.createDataFrame([(f"val{i}",) for i in range(5000)], "v string")
+    r = kmv_distinct(big, "v", k=256).first()
+    assert r["k_used"] == 256
+    assert abs(r["est_distinct"] - 5000) / 5000 < 0.2, r["est_distinct"]
+
+    # duplicates never change the sketch (it sees distinct hashes)
+    dup = big.union(big)
+    r2 = kmv_distinct(dup, "v", k=256).first()
+    assert r2 == r
