@@ -317,13 +317,20 @@ def sq8_topk(
             F.max(F.col("__x").cast("double")).alias("__mx"),
         )
     )
-    stat_row = stats.agg(
-        F.array_sort(
-            F.collect_list(F.struct("__pos", "__mn", "__mx"))
-        ).alias("__s")
-    ).select(
-        F.expr("transform(__s, s -> s.__mn)").alias("__mins"),
-        F.expr("transform(__s, s -> s.__mx)").alias("__maxs"),
+    stat_row = (
+        stats.agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__mn", "__mx"))
+            ).alias("__s")
+        )
+        .select(
+            F.expr("transform(__s, s -> s.__mn)").alias("__mins"),
+            F.expr("transform(__s, s -> s.__mx)").alias("__maxs"),
+        )
+        # ONE row; materialize it so the query and corpus branches share
+        # a single stats pass over the corpus instead of re-deriving the
+        # min/max aggregation each (plan-tested)
+        .localCheckpoint()
     )
     from glinerswift_spark.functions.hashing import l2_norm
 

@@ -159,3 +159,52 @@ def test_triangle_counts_no_quadratic_join(spark):
     plan = plan_of(triangle_counts(edges))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_and_sketch_use_takeordered_not_full_sort(spark, queries):
+    """Top-N census and the KMV sketch must plan as TakeOrdered
+    (per-partition top-k + k-row merge), never a global Sort+Limit."""
+    for name in ("vocab_top", "boilerplate_top", "vocab_sketch"):
+        plan = plan_of(queries[name](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, name
+        # no global sort outside the TakeOrdered operator itself
+        assert "Sort [" not in plan.replace("TakeOrderedAndProject", ""), name
+
+
+def test_label_propagation_round_has_no_window(spark):
+    """The LPA per-round argmax is a min() over an order-embedding key —
+    a Window row_number over the neighbor partition would resurrect the
+    skewed-sort cost the design avoids."""
+    from glinerswift_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1)], "src_id string, dst_id string, weight long"
+    )
+    plan = plan_of(label_propagation(edges, iters=1))
+    assert "Window" not in plan
+
+
+def test_sq8_corpus_side_no_shuffle_before_topk(spark, queries):
+    """SQ8: the corpus is quantized scan-side against a one-row
+    broadcast and meets the broadcast query side without shuffling;
+    the only exchange is the per-query top-k window's."""
+    plan = plan_of(queries["ann_sq8"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    # exactly the window's hash exchange on query_id (plus its sort)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_metapath_join_is_preaggregated(spark):
+    """metapath2_counts joins the edge relation against a PRE-AGGREGATED
+    (mid, pred) relation: the plan must show an aggregate BELOW the join
+    on the build side (hub-safety), and only equi-joins."""
+    from glinerswift_spark.operators.graph import metapath2_counts
+
+    edges = spark.createDataFrame(
+        [("a", "p", "b", 1), ("b", "q", "c", 2)],
+        "src_id string, pred string, dst_id string, weight long",
+    )
+    plan = plan_of(metapath2_counts(edges))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    join_at = plan.index("Join")
+    assert "HashAggregate" in plan[join_at:]
