@@ -35,6 +35,13 @@ def main():
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--salt-partitions", type=int, default=None)
     ap.add_argument(
+        "--analytics", action="store_true",
+        help="also write graph-analytics tables derived from the "
+             "materialized edges: pagerank (integer-exact, 5 rounds), "
+             "degree, communities (label propagation, 4 rounds), and "
+             "kcore3 — each a parquet table under --output",
+    )
+    ap.add_argument(
         "--prior", default=None,
         help="previous run's --output dir: treat --input as ONLY the new "
              "crawl batch, extract just it, union the prior run's "
@@ -44,7 +51,7 @@ def main():
     )
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
+    from pyspark.sql import SparkSession, functions as F
 
     from glinerswift_spark.operators.checkpoint import run_stage_with_checkpoint
     from glinerswift_spark.plans.kg_pipeline import (
@@ -135,6 +142,44 @@ def main():
     n_nodes = spark.read.parquet(os.path.join(args.output, "nodes")).count()
     n_edges = spark.read.parquet(os.path.join(args.output, "edges")).count()
     print(f"KG complete: {n_nodes} nodes, {n_edges} edges -> {args.output}")
+
+    if args.analytics:
+        # derived analytics read the PUBLISHED edge table (not the live
+        # lineage), so a re-run with --analytics alone replays from the
+        # materialized KG without re-extracting
+        from glinerswift_spark.operators.graph import (
+            kcore_nodes,
+            label_propagation,
+            pagerank_integer,
+        )
+
+        e = spark.read.parquet(os.path.join(args.output, "edges"))
+        write_table(pagerank_integer(e), os.path.join(args.output, "pagerank"))
+        deg = (
+            e.groupBy(F.col("src_id").alias("node"))
+            .agg(F.sum("weight").alias("out_weight"))
+            .join(
+                e.groupBy(F.col("dst_id").alias("node")).agg(
+                    F.sum("weight").alias("in_weight")
+                ),
+                "node",
+                "full",
+            )
+            .select(
+                "node",
+                F.coalesce("out_weight", F.lit(0)).alias("out_weight"),
+                F.coalesce("in_weight", F.lit(0)).alias("in_weight"),
+            )
+        )
+        write_table(deg, os.path.join(args.output, "degree"))
+        write_table(
+            label_propagation(e, iters=4),
+            os.path.join(args.output, "communities"),
+        )
+        write_table(
+            kcore_nodes(e, k=3, rounds=4), os.path.join(args.output, "kcore3")
+        )
+        print(f"analytics complete -> {args.output}/(pagerank|degree|communities|kcore3)")
     spark.stop()
 
 

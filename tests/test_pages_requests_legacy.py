@@ -261,7 +261,7 @@ def test_run_kg_incremental_prior_equals_full(spark, tmp_path):
     a.write.parquet(d_a)
     b.write.parquet(d_b)
 
-    def run(inp, out, prior=None):
+    def run(inp, out, prior=None, analytics=False):
         cmd = [
             sys.executable, "/root/repo/jobs/run_kg.py",
             "--input", inp, "--output", out,
@@ -270,11 +270,13 @@ def test_run_kg_incremental_prior_equals_full(spark, tmp_path):
         ]
         if prior:
             cmd += ["--prior", prior]
+        if analytics:
+            cmd += ["--analytics"]
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=420)
         assert r.returncode == 0, r.stderr[-2000:]
 
     o_full, o_a, o_inc = (str(tmp_path / n) for n in ("kg_full", "kg_a", "kg_inc"))
-    run(d_all, o_full)
+    run(d_all, o_full, analytics=True)
     run(d_a, o_a)
     run(d_b, o_inc, prior=o_a)
 
@@ -293,3 +295,17 @@ def test_run_kg_incremental_prior_equals_full(spark, tmp_path):
     assert rows(o_inc, "edges", edge_cols) == rows(o_full, "edges", edge_cols)
     # incremental genuinely changed the graph vs the A-only snapshot
     assert rows(o_a, "edges", edge_cols) != rows(o_full, "edges", edge_cols)
+
+    # --analytics published derived tables consistent with the edge set
+    edge_nodes = {r[0] for r in rows(o_full, "edges", "src_id")} | {
+        r[0] for r in rows(o_full, "edges", "dst_id")
+    }
+    pr = rows(o_full, "pagerank", "node, rank_int")
+    assert {r[0] for r in pr} == edge_nodes and all(r[1] > 0 for r in pr)
+    deg = rows(o_full, "degree", "node, out_weight, in_weight")
+    assert {r[0] for r in deg} == edge_nodes
+    comm = rows(o_full, "communities", "node, community")
+    assert {r[0] for r in comm} == edge_nodes
+    kcore = rows(o_full, "kcore3", "node, core_deg")
+    assert {r[0] for r in kcore} <= edge_nodes
+    assert all(r[1] >= 3 for r in kcore)
