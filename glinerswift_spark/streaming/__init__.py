@@ -16,6 +16,7 @@ from glinerswift_spark.streaming.foreach_batch import (  # noqa: F401
     stream_documents,
 )
 from glinerswift_spark.streaming.stateful import (  # noqa: F401
+    dedup_stream,
     sessionize_stream,
     stream_events,
     windowed_event_counts,

@@ -191,3 +191,51 @@ def extract_triples_stream(
     from glinerswift_spark.plans.kg_pipeline import extract_triples_fused
 
     return extract_triples_fused(docs, labels, backend_spec, threshold=threshold)
+
+
+DEDUP_OUTPUT_DDL = "text_hash string, doc_id long"
+_DEDUP_STATE_DDL = "keeper long"
+
+
+def _dedup_fn(key, pdfs, state):
+    """First-seen-wins streaming exact dedup: emit the hash's keeper row
+    on the FIRST micro-batch that carries it (min doc id within that
+    batch), swallow every later duplicate. Append-mode discipline: an
+    emitted keeper is never retracted, so cross-batch "a smaller id
+    arrived later" keeps the original keeper — equal to batch
+    exact_dedup whenever arrival order follows id order (the
+    monotonic-ingest contract a crawl pipeline provides), pinned by the
+    stream==batch twin test."""
+    text_hash = key[0]
+    batch_min = None
+    for pdf in pdfs:
+        m = int(pdf["doc_id"].min())
+        batch_min = m if batch_min is None else min(batch_min, m)
+    if not state.exists:
+        state.update((batch_min,))
+        yield pd.DataFrame({"text_hash": [text_hash], "doc_id": [batch_min]})
+    # else: duplicate of an already-emitted keeper — state unchanged
+
+
+def dedup_stream(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Streaming exact dedup as a CUSTOM STATEFUL operator: state is ONE
+    long per distinct text hash (the irreducible memory of exact
+    streaming dedup — near-dup families needing less state go through
+    the batch MinHash path per landing batch instead). Spark's built-in
+    streaming dropDuplicates holds the same per-key state but keeps an
+    ARBITRARY intra-batch survivor; the explicit state function pins
+    min-id semantics so the result is deterministic and comparable to
+    the batch exact_dedup oracle."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hashed = docs.select(
+        F.md5(F.col(text_col)).alias("text_hash"),
+        F.col(id_col).cast("long").alias("doc_id"),
+    )
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_OUTPUT_DDL,
+        stateStructType=_DEDUP_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -220,3 +220,43 @@ def test_streaming_triple_extraction_matches_batch(spark, tmp_path):
     )
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_dedup_stream_matches_batch_exact_dedup(spark, tmp_path):
+    """Streaming exact dedup (one long of state per distinct hash) must
+    emit exactly the batch exact_dedup keepers under the monotonic-
+    ingest contract: file A (lower ids, written first) then file B
+    (duplicates of A's texts + new ones). Parity holds under ANY batch
+    split because every hash's min id arrives no later than its first
+    occurrence."""
+    import time as _time
+
+    from glinerswift_spark.operators.dedup import exact_dedup
+    from glinerswift_spark.streaming.foreach_batch import stream_documents
+    from glinerswift_spark.streaming.stateful import dedup_stream
+
+    texts_a = [f"unique text number {i} with words" for i in range(20)]
+    rows_a = [(i, t, "en", "web", len(t)) for i, t in enumerate(texts_a)]
+    # B: ids 100+; half duplicate A's texts, half new
+    rows_b = [
+        (100 + i, texts_a[i] if i < 10 else f"fresh b text {i} here", "en",
+         "web", 20)
+        for i in range(20)
+    ]
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    src = str(tmp_path / "docs_arrivals")
+    spark.createDataFrame(rows_a, ddl).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.2)  # distinct mtimes -> deterministic file order
+    spark.createDataFrame(rows_b, ddl).coalesce(1).write.mode("append").parquet(src)
+
+    out = dedup_stream(stream_documents(spark, src))
+    _run_to_memory(out, "dedup_stream_out", "append")
+    got = {
+        (r["text_hash"], r["doc_id"])
+        for r in spark.sql("select * from dedup_stream_out").collect()
+    }
+    want = {
+        (r["text_hash"], r["keeper"])
+        for r in exact_dedup(spark.read.parquet(src)).collect()
+    }
+    assert got == want and len(want) == 30  # 20 A + 10 new B
