@@ -1061,6 +1061,31 @@ def _synth_pages_urls(docs):
     )
 
 
+def _q_url_dedup(spark, sf_dir):
+    """Crawl-frontier URL dedup (operators/weburl.url_dedup): pairs of
+    docs (doc_id div 2) share one logical URL dressed in different messy
+    forms — tracking params, fragment, uppercased scheme+host, explicit
+    :443 + trailing slash — and must collapse to one canonical row with
+    the min-id keeper. Canonicalization is scan-side regexp only; the
+    oracle replays canonical bytes exactly (DuckDB regexp_replace needs
+    the 'g' flag to match Spark's global-replace default)."""
+    from glinerswift_spark.operators.weburl import url_dedup
+
+    docs = _docs(spark, sf_dir)
+    buddy = F.expr("doc_id div 2")
+    host = F.concat(F.lit("h"), (buddy % 5).cast("string"), F.lit(".example.com"))
+    base = F.concat(F.lit("/p/doc"), buddy.cast("string"))
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), host, base,
+                                F.lit("?utm_source=feed&ref=tw")))
+        .when(v == 1, F.concat(F.lit("https://"), host, base, F.lit("#section2")))
+        .when(v == 2, F.concat(F.lit("HTTPS://"), F.upper(host), base))
+        .otherwise(F.concat(F.lit("https://"), host, F.lit(":443"), base, F.lit("/")))
+    )
+    return url_dedup(docs.withColumn("url", url))
+
+
 def _q_domain_stats(spark, sf_dir):
     """Per-host corpus census (pages, chars, max path depth, langs) via
     pure-column URL parsing — the skew survey that sizes mega-domain
@@ -1158,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_metapaths": _q_kg_metapaths,
         "kg_kcore": _q_kg_kcore,
         "domain_stats": _q_domain_stats,
+        "url_dedup": _q_url_dedup,
         "node_centroids": _q_node_centroids,
     }
 
@@ -2291,6 +2317,53 @@ sizes AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS community_size
           FROM lab4 GROUP BY 1)
 SELECT lab4.node, lab4.label AS community, sizes.community_size
 FROM lab4 JOIN sizes ON lab4.label = sizes.community"""
+
+    sql["url_dedup"] = """
+WITH u AS (
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'https://h' || CAST((doc_id // 2) % 5 AS VARCHAR)
+                  || '.example.com/p/doc' || CAST(doc_id // 2 AS VARCHAR)
+                  || '?utm_source=feed&ref=tw'
+             WHEN 1 THEN 'https://h' || CAST((doc_id // 2) % 5 AS VARCHAR)
+                  || '.example.com/p/doc' || CAST(doc_id // 2 AS VARCHAR)
+                  || '#section2'
+             WHEN 2 THEN 'HTTPS://' || upper('h' || CAST((doc_id // 2) % 5 AS VARCHAR)
+                  || '.example.com') || '/p/doc' || CAST(doc_id // 2 AS VARCHAR)
+             ELSE 'https://h' || CAST((doc_id // 2) % 5 AS VARCHAR)
+                  || '.example.com:443/p/doc' || CAST(doc_id // 2 AS VARCHAR) || '/'
+           END AS url
+    FROM documents),
+c AS (
+    SELECT doc_id,
+           lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) || '://'
+           || regexp_replace(
+                  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+                  ':(80|443)$', '', 'g')
+           || (CASE WHEN r = '' THEN '/'
+                    WHEN r LIKE '?%' THEN '/' || r
+                    ELSE r END) AS canonical_url
+    FROM (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+', '', 'g'),
+                             '#.*', '', 'g'),
+                           '(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+                         '[?&]+$', '', 'g'),
+                       '\\?&', '?', 'g'),
+                     '&&+', '&', 'g'),
+                   '/\\?', '?', 'g'),
+                 '/$', '', 'g') AS r,
+               url
+        FROM u))
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls, min(doc_id) AS keeper
+FROM c GROUP BY 1"""
 
     sql["domain_stats"] = """
 WITH pages AS (

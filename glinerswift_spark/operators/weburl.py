@@ -54,3 +54,61 @@ def domain_stats(df: DataFrame, url_col: str = "url", chars_col: str = "n_chars"
         F.max("path_depth").alias("max_depth"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+# tracking params every crawl dedup strips (the public-consensus set)
+_TRACK_RE = "(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*"
+
+
+def canonical_url_expr(url_col):
+    """Canonical URL form for crawl dedup, as one column expression:
+    lowercase scheme/host, default :80/:443 ports stripped, fragment
+    stripped, tracking params (utm_*, fbclid, gclid, ref) removed with
+    separator cleanup, trailing '/' normalized ('' path -> '/'). Only
+    regexp_extract/replace + lower/concat in the Java-regex∩RE2 subset,
+    so the DuckDB oracle replays canonical bytes exactly.
+
+    Deliberately NOT done (documented): percent-decoding and query-param
+    reordering — both need per-char loops or sorts that belong in a UDF,
+    and crawl frontiers emit params in stable order anyway."""
+    url = url_col if not isinstance(url_col, str) else F.col(url_col)
+    scheme = F.lower(F.regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    host = F.regexp_replace(F.lower(hostport), ":(80|443)$", "")
+    rest = F.regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+", "")
+    rest = F.regexp_replace(rest, "#.*", "")
+    rest = F.regexp_replace(rest, _TRACK_RE, "")
+    rest = F.regexp_replace(rest, "[?&]+$", "")
+    rest = F.regexp_replace(rest, "\\?&", "?")
+    rest = F.regexp_replace(rest, "&&+", "&")
+    rest = F.regexp_replace(rest, "/\\?", "?")  # '/Path/?q' == '/Path?q'
+    rest = F.regexp_replace(rest, "/$", "")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(rest == "", F.lit("/"))
+        .when(rest.startswith("?"), F.concat(F.lit("/"), rest))
+        .otherwise(rest),
+    )
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Crawl-frontier URL dedup: one row per canonical URL with the
+    duplicate count and the min-id keeper — the fetch-once gate that
+    runs BEFORE any content ever downloads (content dedup can't save
+    the bandwidth this does). One map-side-combined groupBy over a
+    scan-side canonicalization expression; at 10^12 URLs the shuffle
+    carries one row per DISTINCT canonical URL, the irreducible
+    minimum."""
+    return (
+        df.select(
+            canonical_url_expr(url_col).alias("canonical_url"),
+            F.col(id_col).alias("__id"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("__id").alias("keeper"),
+        )
+    )

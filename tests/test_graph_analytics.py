@@ -418,3 +418,34 @@ def test_kcore_matches_bruteforce_random(spark):
         _edges(spark, [(u, v, 1) for u, v in edges]), k=3, rounds=8
     ).collect()}
     assert got == want
+
+
+def test_canonical_url_and_dedup(spark):
+    from glinerswift_spark.operators.weburl import canonical_url_expr, url_dedup
+
+    cases = [
+        (1, "HTTPS://WWW.Example.COM:443/Path/?utm_source=x&q=1&fbclid=z#frag"),
+        (2, "https://www.example.com/Path?q=1"),
+        (3, "http://example.com:80"),
+        (4, "https://example.com/a/b/"),
+        (5, "https://example.com/a/b"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, url string")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", canonical_url_expr("url").alias("c")).collect()
+    }
+    # scheme+host lowercased, :443 stripped, utm/fbclid stripped with
+    # separator cleanup, fragment stripped, trailing slash normalized —
+    # path case PRESERVED
+    assert got[1] == "https://www.example.com/Path?q=1"
+    assert got[1] == got[2]
+    assert got[3] == "http://example.com/"   # empty path -> '/'
+    assert got[4] == got[5] == "https://example.com/a/b"
+
+    dedup = {
+        (r["canonical_url"], r["n_urls"], r["keeper"])
+        for r in url_dedup(df).collect()
+    }
+    assert ("https://www.example.com/Path?q=1", 2, 1) in dedup
+    assert ("https://example.com/a/b", 2, 4) in dedup
