@@ -447,6 +447,29 @@ def _q_kg_kcore(spark, sf_dir):
     return kcore_nodes(_cooccur_knn(spark, sf_dir), k=3, rounds=4, src="s", dst="t")
 
 
+def _q_kg_edge_diff(spark, sf_dir):
+    """Incremental-crawl audit: diff the KG edges materialized from the
+    prior corpus (doc_id % 3 != 0) against the full-corpus rebuild
+    (operators/graph.edge_diff). 'removed' rows are real — adding docs
+    can re-root a min-mention-id cluster and move its edges to a new
+    canonical node. The oracle replays BOTH full linking chains (the
+    prior one with the doc filter pushed into the extraction CTE) and
+    full-outer-joins them."""
+    from glinerswift_spark.operators.graph import edge_diff
+    from glinerswift_spark.plans.kg_pipeline import build_kg
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    old_kg = build_kg(
+        docs.where(F.col("doc_id") % 3 != 0), emb,
+        FLAGSHIP_LABELS, flagship_gazetteer(), threshold=THRESHOLD,
+    )
+    new_kg = build_kg(
+        docs, emb, FLAGSHIP_LABELS, flagship_gazetteer(), threshold=THRESHOLD
+    )
+    return edge_diff(old_kg["edges"], new_kg["edges"])
+
+
 def _q_kg_metapaths(spark, sf_dir):
     """Weighted 2-hop metapath counts per start node over the
     materialized KG (operators/graph.metapath2_counts): the second hop
@@ -1182,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _q_kg_communities,
         "kg_metapaths": _q_kg_metapaths,
         "kg_kcore": _q_kg_kcore,
+        "kg_edge_diff": _q_kg_edge_diff,
         "domain_stats": _q_domain_stats,
         "url_dedup": _q_url_dedup,
         "node_centroids": _q_node_centroids,
@@ -1362,6 +1386,31 @@ und AS MATERIALIZED (
     FROM knn WHERE s <> t)"""
 
 
+def _kg_edges_chain_sql(doc_where: str = "") -> str:
+    """The full extraction -> linking -> canonicalization -> edge
+    aggregation chain as ONE self-contained SQL statement (nested
+    WITH RECURSIVE — usable as a derived table), with an optional doc
+    filter pushed into the extraction CTE. Replays build_kg()['edges']
+    for the filtered corpus."""
+    chain = f"""WITH RECURSIVE {_TRIPLE_CTE},
+{_LINKING_CTE},
+smap AS (
+    SELECT lower(text) AS surface, min(canonical_id) AS canonical_id
+    FROM mm GROUP BY 1
+),
+resolved AS (
+    SELECT s1.canonical_id AS src_id, t.pred, s2.canonical_id AS dst_id
+    FROM trip t
+    JOIN smap s1 ON lower(t.subj) = s1.surface
+    JOIN smap s2 ON lower(t.obj) = s2.surface
+)
+SELECT src_id, pred, dst_id, CAST(count(*) AS BIGINT) AS weight
+FROM resolved GROUP BY 1, 2, 3"""
+    if doc_where:
+        chain = chain.replace("FROM documents", f"FROM documents {doc_where}")
+    return chain
+
+
 def _kcore_round_cte(r: int, k: int) -> str:
     """One unrolled k-core peeling round (replays
     operators/graph.kcore_nodes: edges among survivors -> degree ->
@@ -1533,6 +1582,19 @@ SELECT e.src_id AS node, e.pred AS pred_a, bout.pred_b,
        CAST(sum(e.w * bout.w2) AS BIGINT) AS n_paths
 FROM e JOIN bout ON e.dst_id = bout.mid
 GROUP BY 1, 2, 3"""
+
+    sql["kg_edge_diff"] = f"""
+SELECT coalesce(o.src_id, n.src_id) AS src_id,
+       coalesce(o.pred, n.pred) AS pred,
+       coalesce(o.dst_id, n.dst_id) AS dst_id,
+       CASE WHEN o.src_id IS NULL THEN 'added'
+            WHEN n.src_id IS NULL THEN 'removed'
+            ELSE 'kept' END AS status,
+       CAST(coalesce(o.weight, 0) AS BIGINT) AS weight_old,
+       CAST(coalesce(n.weight, 0) AS BIGINT) AS weight_new
+FROM ({_kg_edges_chain_sql("WHERE doc_id % 3 <> 0")}) o
+FULL JOIN ({_kg_edges_chain_sql()}) n
+  ON o.src_id = n.src_id AND o.pred = n.pred AND o.dst_id = n.dst_id"""
 
     sql["exact_dedup"] = """
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keeper

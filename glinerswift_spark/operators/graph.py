@@ -176,6 +176,46 @@ def pagerank_integer(
     )
 
 
+def edge_diff(
+    edges_old: DataFrame,
+    edges_new: DataFrame,
+    src: str = "src_id",
+    pred: str = "pred",
+    dst: str = "dst_id",
+    weight: str = "weight",
+) -> DataFrame:
+    """Snapshot diff between two materialized KG edge tables:
+    (src_id, pred, dst_id, status, weight_old, weight_new) with status
+    in {added, removed, kept} — the audit surface for incremental crawl
+    updates (plans/kg_pipeline.update_kg). 'removed' is REAL even when
+    the new corpus is a superset of the old: min-mention-id
+    canonicalization can re-root a cluster once a smaller mention id
+    joins it, moving every incident edge to a new node id.
+
+    One full-outer equi-join on the edge key; both sides are
+    edge-cardinality relations (already aggregated), so the diff costs
+    one shuffle of each edge table — nothing document-sized."""
+    key = [src, pred, dst]
+    o = edges_old.select(
+        *key, F.col(weight).cast("long").alias("weight_old")
+    )
+    n = edges_new.select(
+        *key, F.col(weight).cast("long").alias("weight_new")
+    )
+    joined = o.join(n, key, "full")
+    status = (
+        F.when(F.col("weight_old").isNull(), F.lit("added"))
+        .when(F.col("weight_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(
+        *key,
+        status.alias("status"),
+        F.coalesce("weight_old", F.lit(0)).alias("weight_old"),
+        F.coalesce("weight_new", F.lit(0)).alias("weight_new"),
+    )
+
+
 def metapath2_counts(
     edges: DataFrame,
     src: str = "src_id",

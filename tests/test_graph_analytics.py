@@ -449,3 +449,27 @@ def test_canonical_url_and_dedup(spark):
     }
     assert ("https://www.example.com/Path?q=1", 2, 1) in dedup
     assert ("https://example.com/a/b", 2, 4) in dedup
+
+
+def test_edge_diff_statuses(spark):
+    from glinerswift_spark.operators.graph import edge_diff
+
+    ddl = "src_id string, pred string, dst_id string, weight long"
+    old = spark.createDataFrame(
+        [("a", "p", "b", 3), ("a", "p", "c", 1), ("x", "q", "y", 2)], ddl
+    )
+    new = spark.createDataFrame(
+        [("a", "p", "b", 5), ("a", "p", "d", 1)], ddl
+    )
+    got = {
+        (r["src_id"], r["pred"], r["dst_id"]): (
+            r["status"], r["weight_old"], r["weight_new"]
+        )
+        for r in edge_diff(old, new).collect()
+    }
+    assert got == {
+        ("a", "p", "b"): ("kept", 3, 5),
+        ("a", "p", "c"): ("removed", 1, 0),
+        ("x", "q", "y"): ("removed", 2, 0),
+        ("a", "p", "d"): ("added", 0, 1),
+    }
