@@ -1084,6 +1084,20 @@ def _synth_pages_urls(docs):
     )
 
 
+def _q_host_quality(spark, sf_dir):
+    """Domain-level quality gate (operators/weburl.host_quality_gate):
+    per-doc quality rolls up to an INTEGER per-host mean (sum div count
+    of 6dp-scaled scores — float avgs ulp-drift across engines), and
+    hosts with >= 3 pages below 0.66 are marked for removal."""
+    from glinerswift_spark.operators.textstats import quality_score
+    from glinerswift_spark.operators.weburl import host_quality_gate
+
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs).select("doc_id", "quality")
+    pages = _synth_pages_urls(docs).select("doc_id", "url").join(q, "doc_id")
+    return host_quality_gate(pages, min_avg_scaled=660_000, min_pages=3)
+
+
 def _q_url_dedup(spark, sf_dir):
     """Crawl-frontier URL dedup (operators/weburl.url_dedup): pairs of
     docs (doc_id div 2) share one logical URL dressed in different messy
@@ -1208,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_diff": _q_kg_edge_diff,
         "domain_stats": _q_domain_stats,
         "url_dedup": _q_url_dedup,
+        "host_quality": _q_host_quality,
         "node_centroids": _q_node_centroids,
     }
 
@@ -2379,6 +2394,40 @@ sizes AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS community_size
           FROM lab4 GROUP BY 1)
 SELECT lab4.node, lab4.label AS community, sizes.community_size
 FROM lab4 JOIN sizes ON lab4.label = sizes.community"""
+
+    sql["host_quality"] = f"""
+WITH b AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_types,
+           len(list_filter(string_split(text, ' '),
+                           x -> list_contains({stop_list}, x))) AS n_stop,
+           'src' AS _unused, source, lang
+    FROM documents
+),
+q AS (
+    SELECT doc_id, source, lang,
+           round(0.4 * (n_types * 1.0 / n_tokens)
+                 + 0.3 * (1.0 - n_stop * 1.0 / n_tokens)
+                 + 0.3 * least(1.0, n_tokens / 100.0), 6) AS quality
+    FROM b WHERE n_tokens > 0
+),
+p AS (
+    SELECT source || '.example.' ||
+           (CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'de'
+                      WHEN 'fr' THEN 'fr' WHEN 'es' THEN 'es'
+                      ELSE 'net' END) AS host,
+           CAST(round(quality * 1000000) AS BIGINT) AS q_int
+    FROM q
+),
+a AS (
+    SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+           sum(q_int) // count(*) AS avg_q_int
+    FROM p GROUP BY 1
+)
+SELECT host, n_pages, CAST(avg_q_int AS BIGINT) AS avg_q_int,
+       NOT (n_pages >= 3 AND avg_q_int < 660000) AS keep
+FROM a"""
 
     sql["url_dedup"] = """
 WITH u AS (

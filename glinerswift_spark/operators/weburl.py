@@ -112,3 +112,47 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
             F.min("__id").alias("keeper"),
         )
     )
+
+
+QUALITY_SCALE = 1_000_000
+
+
+def host_quality_gate(
+    df: DataFrame,
+    url_col: str = "url",
+    quality_col: str = "quality",
+    min_avg_scaled: int = 640_000,
+    min_pages: int = 2,
+) -> DataFrame:
+    """Domain-level quality gating — the two-level aggregation every
+    web-corpus curation pipeline runs: per-doc quality (already a
+    scan-side expression) rolls up to a per-host mean, and hosts with
+    enough evidence (>= min_pages) below the threshold are marked for
+    wholesale removal. Returns (host, n_pages, avg_q_int, keep).
+
+    The mean is integer-exact: per-doc quality (rounded to 6dp
+    upstream) scales to a BIGINT, and avg_q_int = sum div count — float
+    averages differ in the last ulp across engines' sum orders, integer
+    division does not. Small hosts (< min_pages) keep by default:
+    too little evidence to condemn a domain.
+
+    Scale shape: one map-side-combined groupBy(host); the host relation
+    is domain-cardinality (tiny vs docs) — downstream filtering joins
+    it back broadcast."""
+    parts = with_url_parts(df, url_col)
+    q_int = F.expr(
+        f"CAST(round({quality_col} * {QUALITY_SCALE}) AS BIGINT)"
+    )
+    agg = (
+        parts.select(F.col("host"), q_int.alias("__q"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.expr("sum(__q) div count(1)").alias("avg_q_int"),
+        )
+    )
+    keep = ~(
+        (F.col("n_pages") >= min_pages)
+        & (F.col("avg_q_int") < min_avg_scaled)
+    )
+    return agg.select("host", "n_pages", "avg_q_int", keep.alias("keep"))

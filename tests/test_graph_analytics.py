@@ -473,3 +473,26 @@ def test_edge_diff_statuses(spark):
         ("x", "q", "y"): ("removed", 2, 0),
         ("a", "p", "d"): ("added", 0, 1),
     }
+
+
+def test_host_quality_gate_semantics(spark):
+    from glinerswift_spark.operators.weburl import host_quality_gate
+
+    rows = [
+        # bad.com: 3 pages averaging 0.30 -> condemned
+        (1, "https://bad.com/a", 0.3), (2, "https://bad.com/b", 0.3),
+        (3, "https://bad.com/c", 0.3),
+        # good.com: high quality -> kept
+        (4, "https://good.com/a", 0.9), (5, "https://good.com/b", 0.9),
+        (6, "https://good.com/c", 0.9),
+        # tiny.com: low quality but only 1 page -> benefit of the doubt
+        (7, "https://tiny.com/a", 0.1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, quality double")
+    got = {
+        r["host"]: (r["n_pages"], r["avg_q_int"], r["keep"])
+        for r in host_quality_gate(df, min_avg_scaled=500_000, min_pages=3).collect()
+    }
+    assert got["bad.com"] == (3, 300_000, False)
+    assert got["good.com"] == (3, 900_000, True)
+    assert got["tiny.com"] == (1, 100_000, True)
