@@ -208,3 +208,16 @@ def test_metapath_join_is_preaggregated(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     join_at = plan.index("Join")
     assert "HashAggregate" in plan[join_at:]
+
+
+def test_url_dedup_and_host_quality_aggregate_only(spark, queries):
+    """Both URL dedup and the host gate are scan-side expressions + ONE
+    map-side-combined aggregate: their only exchanges are the
+    aggregate's own (no joins on the corpus side; host_quality's doc
+    join is against the same pruned scan, broadcast)."""
+    plan = plan_of(queries["url_dedup"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    plan = plan_of(queries["host_quality"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan  # doc-level join stays broadcast
+    assert plan.count("Exchange hashpartitioning") == 1  # host groupBy
