@@ -605,6 +605,16 @@ def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _q_events_funnel(spark, sf_dir):
+    """Ordered view->click->purchase funnel (operators/events.
+    funnel_counts): each stage is a filtered scan + groupBy(user) min +
+    one equi-join against the previous user-cardinality relation;
+    strict '>' tie contract."""
+    from glinerswift_spark.operators.events import funnel_counts
+
+    return funnel_counts(_events(spark, sf_dir))
+
+
 def _q_events_windowed(spark, sf_dir):
     """Tumbling 1-day windows per event_type (streaming-shape aggregate)."""
     return (
@@ -1206,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "events_asof": _q_events_asof,
+        "events_funnel": _q_events_funnel,
         "repetition_filter": _q_repetition_filter,
         "vocab_top": _q_vocab_top,
         "bloom_decontaminate": _q_bloom_decontaminate,
@@ -2047,6 +2058,21 @@ SELECT doc_id, 'operator' AS label, 'table scan' AS entity,
        CAST({phrase_score} AS DOUBLE) AS score,
        ent_start AS "start", ent_end AS "end"
 FROM occ"""
+
+    sql["events_funnel"] = """
+WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+u2 AS (SELECT e.user_id, min(e.ts) AS t2
+       FROM events e JOIN u1 ON e.user_id = u1.user_id AND e.ts > u1.t1
+       WHERE e.event_type = 'click' GROUP BY 1),
+u3 AS (SELECT e.user_id, min(e.ts) AS t3
+       FROM events e JOIN u2 ON e.user_id = u2.user_id AND e.ts > u2.t2
+       WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT 1 AS stage, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM u1
+UNION ALL
+SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM u2
+UNION ALL
+SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM u3"""
 
     sql["events_windowed"] = """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,

@@ -161,3 +161,29 @@ def test_asof_join_matches_pandas_merge_asof_random(spark):
         for r in m.itertuples()
     }
     assert got == want
+
+
+def test_funnel_counts_strict_ordering(spark):
+    from datetime import datetime
+
+    from glinerswift_spark.operators.events import funnel_counts
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1 completes full funnel in order
+        (1, t(1), 1, "view", 0.0, "{}"), (2, t(2), 1, "click", 0.0, "{}"),
+        (3, t(3), 1, "purchase", 0.0, "{}"),
+        # u2 clicks BEFORE first view -> stuck at stage 1
+        (4, t(5), 2, "click", 0.0, "{}"), (5, t(6), 2, "view", 0.0, "{}"),
+        # u3 view+click same instant -> strict '>' rejects the click
+        (6, t(7), 3, "view", 0.0, "{}"), (7, t(7), 3, "click", 0.0, "{}"),
+        # u4 never views -> not even stage 1
+        (8, t(8), 4, "purchase", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["stage"]: (r["step"], r["n_users"]) for r in funnel_counts(ev).collect()}
+    assert got == {1: ("view", 3), 2: ("click", 1), 3: ("purchase", 1)}
