@@ -605,6 +605,41 @@ def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _q_corpus_rollup(spark, sf_dir):
+    """OLAP rollup over (lang, source): subtotal rows at every prefix
+    level (lang totals, grand total) in one pass — Spark's rollup() is
+    the GROUP BY ROLLUP every ANSI engine shares; grouping-null
+    semantics replay exactly."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+
+def _q_lang_pivot(spark, sf_dir):
+    """Pivot: one row per source, one count column per language. Spark's
+    pivot() with an EXPLICIT value list (an implicit list would add a
+    distinct-scan job and nondeterministic column order); the oracle
+    replays it as conditional aggregation — the portable form."""
+    docs = _docs(spark, sf_dir)
+    langs = ["en", "de", "fr", "es", "zh"]
+    return (
+        docs.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "source",
+            *[F.coalesce(F.col(l), F.lit(0)).cast("long").alias(f"n_{l}") for l in langs],
+        )
+    )
+
+
 def _q_events_funnel(spark, sf_dir):
     """Ordered view->click->purchase funnel (operators/events.
     funnel_counts): each stage is a filtered scan + groupBy(user) min +
@@ -1217,6 +1252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "events_asof": _q_events_asof,
         "events_funnel": _q_events_funnel,
+        "corpus_rollup": _q_corpus_rollup,
+        "lang_pivot": _q_lang_pivot,
         "repetition_filter": _q_repetition_filter,
         "vocab_top": _q_vocab_top,
         "bloom_decontaminate": _q_bloom_decontaminate,
@@ -2058,6 +2095,20 @@ SELECT doc_id, 'operator' AS label, 'table scan' AS entity,
        CAST({phrase_score} AS DOUBLE) AS score,
        ent_start AS "start", ent_end AS "end"
 FROM occ"""
+
+    sql["corpus_rollup"] = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM documents GROUP BY ROLLUP (lang, source)"""
+
+    sql["lang_pivot"] = """
+SELECT source,
+       CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_en,
+       CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS n_de,
+       CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS n_fr,
+       CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS n_es,
+       CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS n_zh
+FROM documents GROUP BY 1"""
 
     sql["events_funnel"] = """
 WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
