@@ -605,6 +605,20 @@ def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _q_extraction_prf(spark, sf_dir):
+    """Span-level P/R/F1 of the per-label-thresholded extraction vs the
+    global-threshold extraction as gold (operators/metrics.span_prf) —
+    the north rule's own P/R acceptance criterion as a distributed,
+    oracle-checked operator. The 'operator' label tightens to 0.645, so
+    its recall drops below 1.0 while precision stays 1.0 (thresholding
+    only removes); 'object' stays identical."""
+    from glinerswift_spark.operators.metrics import span_prf
+
+    gold = _q_kg_entities(spark, sf_dir)
+    pred = _q_kg_entities_thresholded(spark, sf_dir)
+    return span_prf(pred, gold)
+
+
 def _q_corpus_rollup(spark, sf_dir):
     """OLAP rollup over (lang, source): subtotal rows at every prefix
     level (lang totals, grand total) in one pass — Spark's rollup() is
@@ -1253,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _q_events_asof,
         "events_funnel": _q_events_funnel,
         "corpus_rollup": _q_corpus_rollup,
+        "extraction_prf": _q_extraction_prf,
         "lang_pivot": _q_lang_pivot,
         "repetition_filter": _q_repetition_filter,
         "vocab_top": _q_vocab_top,
@@ -2095,6 +2110,36 @@ SELECT doc_id, 'operator' AS label, 'table scan' AS entity,
        CAST({phrase_score} AS DOUBLE) AS score,
        ent_start AS "start", ent_end AS "end"
 FROM occ"""
+
+    sql["extraction_prf"] = f"""WITH {_ENT_CTE},
+g AS (SELECT DISTINCT doc_id, label, entity, ent_start, ent_end FROM ent),
+p AS (SELECT DISTINCT doc_id, label, entity, ent_start, ent_end FROM ent
+      WHERE score >= CASE label WHEN 'operator' THEN 0.645 ELSE {THRESHOLD} END),
+tp AS (SELECT p.label, CAST(count(*) AS BIGINT) AS tp
+       FROM p JOIN g ON p.doc_id = g.doc_id AND p.label = g.label
+         AND p.entity = g.entity AND p.ent_start = g.ent_start
+         AND p.ent_end = g.ent_end
+       GROUP BY 1),
+np AS (SELECT label, CAST(count(*) AS BIGINT) AS n_pred FROM p GROUP BY 1),
+ng AS (SELECT label, CAST(count(*) AS BIGINT) AS n_gold FROM g GROUP BY 1),
+j AS (SELECT ng.label,
+             coalesce(np.n_pred, 0) AS n_pred, ng.n_gold,
+             coalesce(tp.tp, 0) AS tp
+      FROM ng LEFT JOIN np ON ng.label = np.label
+              LEFT JOIN tp ON ng.label = tp.label)
+SELECT label, n_pred, n_gold, tp,
+       round(CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0.0 END, 6)
+           AS precision,
+       round(CASE WHEN n_gold > 0 THEN tp * 1.0 / n_gold ELSE 0.0 END, 6)
+           AS recall,
+       round(CASE WHEN (CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0.0 END
+                        + CASE WHEN n_gold > 0 THEN tp * 1.0 / n_gold ELSE 0.0 END) > 0
+                  THEN 2.0 * (CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0.0 END)
+                       * (CASE WHEN n_gold > 0 THEN tp * 1.0 / n_gold ELSE 0.0 END)
+                       / ((CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0.0 END)
+                          + (CASE WHEN n_gold > 0 THEN tp * 1.0 / n_gold ELSE 0.0 END))
+                  ELSE 0.0 END, 6) AS f1
+FROM j"""
 
     sql["corpus_rollup"] = """
 SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,

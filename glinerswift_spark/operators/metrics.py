@@ -128,3 +128,60 @@ def stage_timing_report(
         F.sum("docs").alias("docs"),
         F.sum("entities").alias("entities"),
     )
+
+
+def span_prf(
+    pred: DataFrame,
+    gold: DataFrame,
+    keys: tuple = ("doc_id", "label", "entity", "start", "end"),
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label span precision / recall / F1 under EXACT-match scoring —
+    the north rule's own acceptance criterion (triple/entity P/R >= 0.95
+    vs reference fixtures) as a distributed operator, so a production
+    run can score a candidate extraction config against a gold slice
+    without collecting either side.
+
+    Exact match = equality on ``keys`` (doc, label, surface, offsets);
+    both sides are de-duplicated to set semantics first. tp is one
+    equi-join on the full key; per-label counts are map-side-combined
+    aggregates of the three relations; precision/recall/F1 divide
+    BIGINT counts (IEEE division + round — deterministic; no libm).
+    Labels with zero predictions or zero gold report 0.0, not null.
+
+    Scale shape: the join shuffles on the full composite key (high
+    cardinality, evenly distributed); per-label aggregation is tiny.
+    """
+    p = pred.select(*keys).distinct()
+    g = gold.select(*keys).distinct()
+    tp = (
+        p.join(g, list(keys))
+        .groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    np_ = p.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_pred"))
+    ng = g.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_gold"))
+    out = (
+        ng.join(np_, label_col, "full")
+        .join(tp, label_col, "left")
+        .select(
+            label_col,
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("n_gold", F.lit(0)).cast("long").alias("n_gold"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(0.0)
+    rec = F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold")).otherwise(0.0)
+    f1 = F.when(
+        (prec + rec) > 0, F.lit(2.0) * prec * rec / (prec + rec)
+    ).otherwise(0.0)
+    return out.select(
+        label_col,
+        "n_pred",
+        "n_gold",
+        "tp",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

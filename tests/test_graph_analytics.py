@@ -496,3 +496,30 @@ def test_host_quality_gate_semantics(spark):
     assert got["bad.com"] == (3, 300_000, False)
     assert got["good.com"] == (3, 900_000, True)
     assert got["tiny.com"] == (1, 100_000, True)
+
+
+def test_span_prf_exact_match_scoring(spark):
+    from glinerswift_spark.operators.metrics import span_prf
+
+    ddl = "doc_id long, label string, entity string, start int, end int"
+    gold = spark.createDataFrame(
+        [(1, "per", "alice", 0, 5), (1, "per", "bob", 10, 13),
+         (2, "org", "acme", 0, 4), (2, "org", "acme", 0, 4)],  # dup -> set
+        ddl,
+    )
+    pred = spark.createDataFrame(
+        [(1, "per", "alice", 0, 5),        # tp
+         (1, "per", "alice", 1, 6),        # fp (offset off by one)
+         (2, "org", "acme", 0, 4),         # tp
+         (3, "loc", "paris", 0, 5)],       # fp on a label gold lacks
+        ddl,
+    )
+    got = {r["label"]: r for r in span_prf(pred, gold).collect()}
+    per = got["per"]
+    assert (per["tp"], per["n_pred"], per["n_gold"]) == (1, 2, 2)
+    assert per["precision"] == 0.5 and per["recall"] == 0.5 and per["f1"] == 0.5
+    org = got["org"]
+    assert (org["tp"], org["n_pred"], org["n_gold"]) == (1, 1, 1)
+    assert org["f1"] == 1.0
+    loc = got["loc"]
+    assert (loc["n_gold"], loc["precision"], loc["recall"], loc["f1"]) == (0, 0.0, 0.0, 0.0)
