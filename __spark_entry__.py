@@ -447,6 +447,17 @@ def _q_kg_kcore(spark, sf_dir):
     return kcore_nodes(_cooccur_knn(spark, sf_dir), k=3, rounds=4, src="s", dst="t")
 
 
+def _q_kg_negatives(spark, sf_dir):
+    """Deterministic tail-corruption negatives over the materialized KG
+    (operators/graph.negative_samples, k=2): md5-indexed corrupt tails,
+    accidental positives anti-joined, self-corruptions dropped —
+    KG-embedding training data that is bit-reproducible across retries
+    and engines."""
+    from glinerswift_spark.operators.graph import negative_samples
+
+    return negative_samples(_q_kg_edges(spark, sf_dir), k=2)
+
+
 def _q_kg_edge_diff(spark, sf_dir):
     """Incremental-crawl audit: diff the KG edges materialized from the
     prior corpus (doc_id % 3 != 0) against the full-corpus rebuild
@@ -1283,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_metapaths": _q_kg_metapaths,
         "kg_kcore": _q_kg_kcore,
         "kg_edge_diff": _q_kg_edge_diff,
+        "kg_negatives": _q_kg_negatives,
         "domain_stats": _q_domain_stats,
         "url_dedup": _q_url_dedup,
         "host_quality": _q_host_quality,
@@ -1660,6 +1672,25 @@ SELECT e.src_id AS node, e.pred AS pred_a, bout.pred_b,
        CAST(sum(e.w * bout.w2) AS BIGINT) AS n_paths
 FROM e JOIN bout ON e.dst_id = bout.mid
 GROUP BY 1, 2, 3"""
+
+    sql["kg_negatives"] = f"""
+WITH ed AS (SELECT DISTINCT src_id, pred, dst_id
+            FROM ({_kg_edges_chain_sql()}) t),
+nodes AS (SELECT src_id AS node FROM ed UNION SELECT dst_id FROM ed),
+idx AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS i FROM nodes),
+n AS (SELECT count(*) AS nn FROM idx),
+cand AS (SELECT ed.src_id, ed.pred, ed.dst_id, s.sample_id,
+                ('0x' || substring(md5(ed.src_id || '|' || ed.pred || '|'
+                     || ed.dst_id || '|' || CAST(s.sample_id AS VARCHAR)),
+                     1, 8))::BIGINT % n.nn AS i
+         FROM ed, n, unnest([0, 1]) AS s(sample_id)),
+j AS (SELECT c.src_id, c.pred, idx.node AS dst_neg,
+             CAST(c.sample_id AS INT) AS sample_id, c.dst_id
+      FROM cand c JOIN idx ON c.i = idx.i WHERE idx.node <> c.dst_id)
+SELECT src_id, pred, dst_neg, sample_id FROM j
+WHERE NOT EXISTS (SELECT 1 FROM ed p
+                  WHERE p.src_id = j.src_id AND p.pred = j.pred
+                    AND p.dst_id = j.dst_neg)"""
 
     sql["kg_edge_diff"] = f"""
 SELECT coalesce(o.src_id, n.src_id) AS src_id,

@@ -176,6 +176,78 @@ def pagerank_integer(
     )
 
 
+def negative_samples(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src_id",
+    pred: str = "pred",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """Deterministic tail-corruption negative sampling for KG-embedding
+    training: for every positive (src, pred, dst), emit up to ``k``
+    corrupted triples (src, pred, dst_neg, sample_id) where dst_neg is
+    an md5-pseudo-random node — reproducible across retries, cluster
+    sizes, and engines (df.sample()/rand() are none of those). Accidental
+    positives (a corruption that IS a real edge) are anti-joined away,
+    and self-corruptions (dst_neg == dst) drop — so a sample can yield
+    fewer than k rows, the standard filtered-negative contract.
+
+    Node indexing uses a row_number over the sorted node relation —
+    node-cardinality is vastly smaller than edge-cardinality in a
+    canonicalized KG, so the single-partition window is a dim-table
+    cost; a billion-node graph would swap in a zipWithIndex-style id
+    assignment without touching the sampling arithmetic.
+
+    Scale shape: explode(k) over edges -> equi-join on the node index
+    (broadcast node side) -> anti-join on the edge key. Nothing
+    all-pairs; negatives per positive are bounded by k."""
+    from pyspark.sql import Window
+
+    e = edges.select(src, pred, dst).distinct()
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .union(e.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    w = Window.orderBy("node")
+    indexed = nodes.select(
+        "node", (F.row_number().over(w) - 1).alias("__idx")
+    )
+    n_nodes = indexed.agg(F.count(F.lit(1)).alias("__n"))
+    cand = (
+        e.crossJoin(F.broadcast(n_nodes))
+        .select(
+            src,
+            pred,
+            dst,
+            F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("sample_id"),
+            "__n",
+        )
+        .withColumn(
+            "__idx",
+            F.expr(
+                f"CAST(conv(substring(md5(concat_ws('|', {src}, {pred}, {dst},"
+                f" CAST(sample_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % __n"
+            ),
+        )
+        .join(F.broadcast(indexed), "__idx")
+        .where(F.col("node") != F.col(dst))
+    )
+    positives = e.select(
+        F.col(src).alias("__ps"), F.col(pred).alias("__pp"), F.col(dst).alias("__pd")
+    )
+    return (
+        cand.join(
+            positives,
+            (F.col(src) == F.col("__ps"))
+            & (F.col(pred) == F.col("__pp"))
+            & (F.col("node") == F.col("__pd")),
+            "anti",
+        )
+        .select(src, pred, F.col("node").alias("dst_neg"), "sample_id")
+    )
+
+
 def edge_diff(
     edges_old: DataFrame,
     edges_new: DataFrame,

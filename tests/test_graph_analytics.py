@@ -523,3 +523,32 @@ def test_span_prf_exact_match_scoring(spark):
     assert org["f1"] == 1.0
     loc = got["loc"]
     assert (loc["n_gold"], loc["precision"], loc["recall"], loc["f1"]) == (0, 0.0, 0.0, 0.0)
+
+
+def test_negative_samples_contract(spark):
+    from glinerswift_spark.operators.graph import negative_samples
+
+    ddl = "src_id string, pred string, dst_id string, weight long"
+    edges = spark.createDataFrame(
+        [("a", "p", "b", 1), ("a", "p", "c", 1), ("b", "p", "c", 1),
+         ("c", "q", "d", 1)],
+        ddl,
+    )
+    out = negative_samples(edges, k=3).collect()
+    positives = {("a", "p", "b"), ("a", "p", "c"), ("b", "p", "c"),
+                 ("c", "q", "d")}
+    nodes = {"a", "b", "c", "d"}
+    assert out  # some negatives survive filtering
+    for r in out:
+        trip = (r["src_id"], r["pred"], r["dst_neg"])
+        assert trip not in positives       # no accidental positives
+        assert r["dst_neg"] in nodes       # corrupt tail is a real node
+        assert 0 <= r["sample_id"] < 3
+    # at most k per positive
+    from collections import Counter
+
+    per_pos = Counter((r["src_id"], r["pred"]) for r in out)
+    assert all(v <= 6 for v in per_pos.values())  # 2 edges x k=3 max
+    # determinism: bit-identical on rerun
+    again = negative_samples(edges, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
