@@ -447,6 +447,35 @@ def _q_kg_kcore(spark, sf_dir):
     return kcore_nodes(_cooccur_knn(spark, sf_dir), k=3, rounds=4, src="s", dst="t")
 
 
+def _q_kg_edge_timespan(spark, sf_dir):
+    """Temporal KG edges (operators/graph.edge_timespans): per-edge
+    weight plus first/last contributing crawl time (synthetic monotone
+    timestamps = fixed epoch + doc_id seconds, the documents_as_pages
+    convention). Same one-groupBy shape as edge materialization."""
+    from glinerswift_spark.operators.graph import (
+        edge_timespans,
+        surface_to_canonical,
+    )
+    from glinerswift_spark.plans.kg_pipeline import build_kg
+
+    kg = build_kg(
+        _docs(spark, sf_dir), _emb(spark, sf_dir),
+        FLAGSHIP_LABELS, flagship_gazetteer(), threshold=THRESHOLD,
+    )
+    sm = surface_to_canonical(kg["mentions"].join(kg["mention_map"], "mention_id"))
+    spans = edge_timespans(kg["triples"], sm)
+    epoch = "timestamp'2024-01-01 00:00:00'"
+    return spans.select(
+        "src_id", "pred", "dst_id", F.col("weight").cast("long").alias("weight"),
+        F.expr(f"{epoch} + make_interval(0, 0, 0, 0, 0, 0, first_doc)").alias(
+            "first_seen"
+        ),
+        F.expr(f"{epoch} + make_interval(0, 0, 0, 0, 0, 0, last_doc)").alias(
+            "last_seen"
+        ),
+    )
+
+
 def _q_kg_negatives(spark, sf_dir):
     """Deterministic tail-corruption negatives over the materialized KG
     (operators/graph.negative_samples, k=2): md5-indexed corrupt tails,
@@ -1295,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": _q_kg_kcore,
         "kg_edge_diff": _q_kg_edge_diff,
         "kg_negatives": _q_kg_negatives,
+        "kg_edge_timespan": _q_kg_edge_timespan,
         "domain_stats": _q_domain_stats,
         "url_dedup": _q_url_dedup,
         "host_quality": _q_host_quality,
@@ -1489,7 +1519,8 @@ smap AS (
     FROM mm GROUP BY 1
 ),
 resolved AS (
-    SELECT s1.canonical_id AS src_id, t.pred, s2.canonical_id AS dst_id
+    SELECT s1.canonical_id AS src_id, t.pred, s2.canonical_id AS dst_id,
+           t.doc_id
     FROM trip t
     JOIN smap s1 ON lower(t.subj) = s1.surface
     JOIN smap s2 ON lower(t.obj) = s2.surface
@@ -1672,6 +1703,15 @@ SELECT e.src_id AS node, e.pred AS pred_a, bout.pred_b,
        CAST(sum(e.w * bout.w2) AS BIGINT) AS n_paths
 FROM e JOIN bout ON e.dst_id = bout.mid
 GROUP BY 1, 2, 3"""
+
+    _chain_resolved = _kg_edges_chain_sql().rsplit("SELECT src_id", 1)[0]
+    sql["kg_edge_timespan"] = f"""{_chain_resolved}
+SELECT src_id, pred, dst_id, CAST(count(*) AS BIGINT) AS weight,
+       TIMESTAMP '2024-01-01 00:00:00' + to_seconds(CAST(min(doc_id) AS BIGINT))
+           AS first_seen,
+       TIMESTAMP '2024-01-01 00:00:00' + to_seconds(CAST(max(doc_id) AS BIGINT))
+           AS last_seen
+FROM resolved GROUP BY 1, 2, 3"""
 
     sql["kg_negatives"] = f"""
 WITH ed AS (SELECT DISTINCT src_id, pred, dst_id

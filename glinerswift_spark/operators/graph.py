@@ -67,6 +67,19 @@ def materialize_edges(
     that single node instead of fanning each triple out into duplicate
     edges with inflated weights.
     """
+    resolved = _resolve_triples(triples, surface_map)
+    return (
+        resolved.groupBy("src_id", "pred", "dst_id")
+        .agg(
+            F.count(F.lit(1)).alias("weight"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+    )
+
+
+def _resolve_triples(triples: DataFrame, surface_map: DataFrame) -> DataFrame:
+    """Resolve triple endpoints (surface forms) to canonical node ids —
+    shared by materialize_edges and edge_timespans."""
     collapsed = surface_map.groupBy("surface").agg(
         F.min("canonical_id").alias("canonical_id")
     )
@@ -76,17 +89,31 @@ def materialize_edges(
     dst = collapsed.select(
         F.col("surface").alias("__o_surface"), F.col("canonical_id").alias("dst_id")
     )
-    resolved = (
+    return (
         triples.withColumn("__s_surface", F.lower(F.col("subj")))
         .withColumn("__o_surface", F.lower(F.col("obj")))
         .join(src, "__s_surface")
         .join(dst, "__o_surface")
     )
+
+
+def edge_timespans(
+    triples: DataFrame,
+    surface_map: DataFrame,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Temporal KG edges: per (src, pred, dst), the weight plus the
+    min/max contributing document id — the temporal extent hook. Any
+    monotone per-doc time column (a crawl's warc_ts) aggregates through
+    the same min/max; callers map the doc extremes to timestamps.
+    Same one-groupBy shape as materialize_edges."""
+    resolved = _resolve_triples(triples, surface_map)
     return (
         resolved.groupBy("src_id", "pred", "dst_id")
         .agg(
             F.count(F.lit(1)).alias("weight"),
-            F.round(F.avg("score"), 4).alias("avg_score"),
+            F.min(doc_col).alias("first_doc"),
+            F.max(doc_col).alias("last_doc"),
         )
     )
 

@@ -552,3 +552,26 @@ def test_negative_samples_contract(spark):
     # determinism: bit-identical on rerun
     again = negative_samples(edges, k=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_edge_timespans_min_max_docs(spark):
+    from glinerswift_spark.operators.graph import edge_timespans
+
+    triples = spark.createDataFrame(
+        [("Acme", "acts_on", "Widget", 3, 0.9),
+         ("acme", "acts_on", "widget", 7, 0.8),   # case-folds to same edge
+         ("Acme", "acts_on", "Gear", 5, 0.7)],
+        "subj string, pred string, obj string, doc_id long, score double",
+    )
+    smap = spark.createDataFrame(
+        [("acme", "n1"), ("widget", "n2"), ("gear", "n3")],
+        "surface string, canonical_id string",
+    )
+    got = {
+        (r["src_id"], r["pred"], r["dst_id"]): (
+            r["weight"], r["first_doc"], r["last_doc"]
+        )
+        for r in edge_timespans(triples, smap).collect()
+    }
+    assert got == {("n1", "acts_on", "n2"): (2, 3, 7),
+                   ("n1", "acts_on", "n3"): (1, 5, 5)}
