@@ -694,6 +694,68 @@ def _q_lang_pivot(spark, sf_dir):
     )
 
 
+def _q_events_retention(spark, sf_dir):
+    """Day-0 cohort retention: for each signup day, how many of that
+    day's signup users produce ANY event exactly N days later, for
+    N in 1..3 — the standard engagement curve as two scans + one
+    equi-join on (user, day) (cohorts and activity are both
+    user-day-cardinality relations; no window over the raw log)."""
+    ev = _events(spark, sf_dir)
+    cohort = (
+        ev.where(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id"),
+            F.to_date("ts").alias("cohort_day"),
+        )
+        .groupBy("user_id")
+        .agg(F.min("cohort_day").alias("cohort_day"))
+    )
+    active = ev.select(
+        "user_id", F.to_date("ts").alias("active_day")
+    ).distinct()
+    joined = cohort.join(active, "user_id").select(
+        "cohort_day",
+        "user_id",
+        F.datediff("active_day", "cohort_day").alias("day_n"),
+    )
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    ret = (
+        joined.where((F.col("day_n") >= 1) & (F.col("day_n") <= 3))
+        .groupBy("cohort_day", "day_n")
+        .agg(F.countDistinct("user_id").alias("n_retained"))
+    )
+    return ret.join(sizes, "cohort_day").select(
+        F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+        F.col("day_n").cast("int").alias("day_n"),
+        F.col("n_retained").cast("long").alias("n_retained"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+    )
+
+
+def _q_source_concentration(spark, sf_dir):
+    """Per-source language-concentration index (Herfindahl): HHI =
+    sum(n_lang^2) * 1e6 div total^2 in pure BIGINT arithmetic — the
+    diversity gate a mixture planner reads (entropy would need libm ln
+    and hash-drift across engines; HHI ranks concentration the same
+    way, exactly)."""
+    docs = _docs(spark, sf_dir)
+    per = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("__n").alias("n_docs"),
+            F.sum(F.col("__n") * F.col("__n")).alias("__ss"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr("(__ss * 1000000) div (n_docs * n_docs)").alias("hhi_scaled"),
+        )
+    )
+
+
 def _q_events_funnel(spark, sf_dir):
     """Ordered view->click->purchase funnel (operators/events.
     funnel_counts): each stage is a filtered scan + groupBy(user) min +
@@ -1306,6 +1368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "events_asof": _q_events_asof,
         "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "source_concentration": _q_source_concentration,
         "corpus_rollup": _q_corpus_rollup,
         "extraction_prf": _q_extraction_prf,
         "lang_pivot": _q_lang_pivot,
@@ -2225,6 +2289,31 @@ SELECT source,
        CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS n_es,
        CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS n_zh
 FROM documents GROUP BY 1"""
+
+    sql["events_retention"] = """
+WITH cohort AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+    FROM events WHERE event_type = 'signup' GROUP BY 1),
+active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events),
+j AS (SELECT c.cohort_day, c.user_id,
+             datediff('day', c.cohort_day, a.active_day) AS day_n
+      FROM cohort c JOIN active a ON c.user_id = a.user_id),
+sizes AS (SELECT cohort_day, CAST(count(DISTINCT user_id) AS BIGINT)
+              AS cohort_size FROM cohort GROUP BY 1),
+ret AS (SELECT cohort_day, CAST(day_n AS INT) AS day_n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_retained
+        FROM j WHERE day_n BETWEEN 1 AND 3 GROUP BY 1, 2)
+SELECT CAST(ret.cohort_day AS TIMESTAMP) AS cohort_day, ret.day_n,
+       ret.n_retained, sizes.cohort_size
+FROM ret JOIN sizes ON ret.cohort_day = sizes.cohort_day"""
+
+    sql["source_concentration"] = """
+WITH per AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+             FROM documents GROUP BY 1, 2),
+a AS (SELECT source, sum(n) AS n_docs, sum(n * n) AS ss FROM per GROUP BY 1)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST((ss * 1000000) // (n_docs * n_docs) AS BIGINT) AS hhi_scaled
+FROM a"""
 
     sql["events_funnel"] = """
 WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
