@@ -230,7 +230,10 @@ def negative_samples(
     all-pairs; negatives per positive are bounded by k."""
     from pyspark.sql import Window
 
-    e = edges.select(src, pred, dst).distinct()
+    # the edge relation feeds THREE branches (node index, candidates,
+    # accidental-positive filter): materialize it once so an expensive
+    # upstream (a full KG build) doesn't replay per branch
+    e = edges.select(src, pred, dst).distinct().localCheckpoint()
     nodes = (
         e.select(F.col(src).alias("node"))
         .union(e.select(F.col(dst).alias("node")))
