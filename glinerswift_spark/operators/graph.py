@@ -449,6 +449,8 @@ def kcore_nodes(
     per graph diameter expectations. Each round is two semi-joins (edge
     endpoints against the alive set) + one degree groupBy — per-round
     cost shrinks as the graph peels, and nothing is ever all-pairs."""
+    if rounds < 1:
+        raise ValueError("kcore_nodes needs rounds >= 1")
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
