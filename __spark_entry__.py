@@ -862,6 +862,26 @@ def _q_tpch_q1(spark, sf_dir):
     )
 
 
+def _q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecast-revenue: a pure filter + single aggregate —
+    the predicate-pushdown showcase (every filter reaches the parquet
+    scan). Revenue in 1e-4 units (cents x discount-cents), exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev_e4 = _cents(F.col("l_extendedprice")) * _cents(F.col("l_discount"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (_cents(F.col("l_discount")).between(5, 7))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev_e4).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def _q_tpch_q3(spark, sf_dir):
     """TPC-H Q3-style: top-10 BUILDING-segment orders by revenue before a
     cutoff date (join + filter + aggregate + rank)."""
@@ -1361,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_chars": _q_percentile_chars,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
+        "tpch_q6": _q_tpch_q6,
         "tpch_q5ish": _q_tpch_q5ish,
         "kg_degree": _q_kg_degree,
         "cooccur_lift": _q_cooccur_lift,
@@ -2381,6 +2402,17 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY 1, 2"""
+
+    sql["tpch_q6"] = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24"""
 
     sql["tpch_q3"] = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,

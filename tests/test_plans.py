@@ -221,3 +221,17 @@ def test_url_dedup_and_host_quality_aggregate_only(spark, queries):
     plan = plan_of(queries["host_quality"](spark, SF_DIR))
     assert "SortMergeJoin" not in plan  # doc-level join stays broadcast
     assert plan.count("Exchange hashpartitioning") == 1  # host groupBy
+
+
+def test_tpch_q6_filters_reach_the_scan(spark, queries):
+    """Q6 is the pushdown showcase: shipdate range and quantity bound
+    must appear in the parquet scan's PushedFilters, and the scan must
+    read only the four needed columns."""
+    plan = plan_of(queries["tpch_q6"](spark, SF_DIR))
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_quantity", "l_extendedprice", "l_discount"):
+        assert col in schema
+    assert "l_orderkey" not in schema and "l_tax" not in schema
