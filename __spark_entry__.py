@@ -862,6 +862,29 @@ def _q_tpch_q1(spark, sf_dir):
     )
 
 
+def _q_orders_running_total(spark, sf_dir):
+    """Cumulative-frame window coverage: per customer, the running total
+    of order value (integer cents) in (o_orderdate, o_orderkey) order —
+    the rows-unbounded-preceding frame the top-k windows don't exercise.
+    The order-by includes the unique key so the frame is total-ordered
+    (a date-only sort would make cumulative sums tie-ambiguous across
+    engines). Partitions on customer — the evenly distributed key."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_cents(F.col("o_totalprice"))).over(w).alias("running_cents"),
+    )
+
+
 def _q_tpch_q6(spark, sf_dir):
     """TPC-H Q6 forecast-revenue: a pure filter + single aggregate —
     the predicate-pushdown showcase (every filter reaches the parquet
@@ -1382,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q6": _q_tpch_q6,
+        "orders_running_total": _q_orders_running_total,
         "tpch_q5ish": _q_tpch_q5ish,
         "kg_degree": _q_kg_degree,
         "cooccur_lift": _q_cooccur_lift,
@@ -2402,6 +2426,15 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY 1, 2"""
+
+    sql["orders_running_total"] = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS running_cents
+FROM orders"""
 
     sql["tpch_q6"] = """
 SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
