@@ -2128,20 +2128,24 @@ WITH p AS (
                          THEN ' +44 555-9'
                               || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
                          ELSE '' END) AS t
-    FROM documents)
+    FROM documents),
+s AS (
+    SELECT doc_id, t,
+           regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+    FROM p),
+s2 AS (
+    SELECT doc_id, t, t1,
+           regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2
+    FROM s)
 SELECT doc_id,
        CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS INT) AS n_email,
-       CAST(len(regexp_extract_all(t, '{PII_IPV4}')) AS INT) AS n_ipv4,
-       CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(t1, '{PII_IPV4}')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t2, '{PII_PHONE}')) AS INT) AS n_phone,
        (len(regexp_extract_all(t, '{PII_EMAIL}'))
-        + len(regexp_extract_all(t, '{PII_IPV4}'))
-        + len(regexp_extract_all(t, '{PII_PHONE}'))) > 0 AS has_pii,
-       regexp_replace(
-           regexp_replace(
-               regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
-               '{PII_IPV4}', '<IP>', 'g'),
-           '{PII_PHONE}', '<PHONE>', 'g') AS redacted
-FROM p"""
+        + len(regexp_extract_all(t1, '{PII_IPV4}'))
+        + len(regexp_extract_all(t2, '{PII_PHONE}'))) > 0 AS has_pii,
+       regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM s2"""
 
     sql["vocab_sketch"] = """
 WITH t AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
@@ -2302,11 +2306,12 @@ tp AS (SELECT p.label, CAST(count(*) AS BIGINT) AS tp
        GROUP BY 1),
 np AS (SELECT label, CAST(count(*) AS BIGINT) AS n_pred FROM p GROUP BY 1),
 ng AS (SELECT label, CAST(count(*) AS BIGINT) AS n_gold FROM g GROUP BY 1),
-j AS (SELECT ng.label,
-             coalesce(np.n_pred, 0) AS n_pred, ng.n_gold,
+j AS (SELECT coalesce(ng.label, np.label) AS label,
+             coalesce(np.n_pred, 0) AS n_pred,
+             coalesce(ng.n_gold, 0) AS n_gold,
              coalesce(tp.tp, 0) AS tp
-      FROM ng LEFT JOIN np ON ng.label = np.label
-              LEFT JOIN tp ON ng.label = tp.label)
+      FROM ng FULL JOIN np ON ng.label = np.label
+              LEFT JOIN tp ON coalesce(ng.label, np.label) = tp.label)
 SELECT label, n_pred, n_gold, tp,
        round(CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0.0 END, 6)
            AS precision,
@@ -2812,7 +2817,7 @@ c AS (
                            regexp_replace(
                              regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+', '', 'g'),
                              '#.*', '', 'g'),
-                           '(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+                           '([?&])(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*', '\\1', 'g'),
                          '[?&]+$', '', 'g'),
                        '\\?&', '?', 'g'),
                      '&&+', '&', 'g'),

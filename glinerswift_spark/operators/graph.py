@@ -431,26 +431,27 @@ def label_propagation(
 def kcore_nodes(
     edges: DataFrame,
     k: int = 3,
-    rounds: int = 4,
+    rounds: int | None = 4,
     src: str = "src_id",
     dst: str = "dst_id",
 ) -> DataFrame:
     """k-core peeling over the UNDIRECTED simple graph induced by
-    ``edges``: repeatedly delete nodes with degree < k, a FIXED number of
-    ``rounds`` times (synchronous deletion). Returns (node, core_deg)
-    for survivors, core_deg being the degree among the previous round's
-    survivors.
+    ``edges``: repeatedly delete nodes with degree < k (synchronous
+    deletion). Returns (node, core_deg) for survivors, core_deg being
+    the degree among the previous round's survivors.
 
-    The fixed round count makes the result bit-deterministic and
+    ``rounds=R`` peels a FIXED number of rounds — bit-deterministic and
     SQL-replayable as unrolled CTEs (same discipline as
-    label_propagation); true k-core needs peeling to a fixed point,
-    which R rounds reach whenever no deletion cascade is longer than R —
-    tests pin convergence on chain cascades, and callers pick ``rounds``
-    per graph diameter expectations. Each round is two semi-joins (edge
-    endpoints against the alive set) + one degree groupBy — per-round
-    cost shrinks as the graph peels, and nothing is ever all-pairs."""
-    if rounds < 1:
-        raise ValueError("kcore_nodes needs rounds >= 1")
+    label_propagation), an upper BOUND of the true k-core whenever a
+    deletion cascade is longer than R. ``rounds=None`` peels to the
+    FIXED POINT (true k-core): loop until the alive count stabilizes,
+    one count() action per round — the form a published artifact must
+    use, since a real web graph's cascades have no known bound
+    (round-3 advice item). Each round is two semi-joins (edge endpoints
+    against the alive set) + one degree groupBy — per-round cost
+    shrinks as the graph peels, and nothing is ever all-pairs."""
+    if rounds is not None and rounds < 1:
+        raise ValueError("kcore_nodes needs rounds >= 1 or rounds=None")
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -464,7 +465,10 @@ def kcore_nodes(
         und.select(F.col("v").alias("node"))
     ).distinct()
     deg = None
-    for _ in range(rounds):
+    n_alive = alive.count() if rounds is None else None
+    r = 0
+    while True:
+        r += 1
         e = und.join(
             alive.select(F.col("node").alias("u")), "u", "semi"
         ).join(alive.select(F.col("node").alias("v")), "v", "semi")
@@ -475,6 +479,14 @@ def kcore_nodes(
             .agg(F.count(F.lit(1)).alias("core_deg"))
         )
         alive = deg.where(F.col("core_deg") >= k).select("node").localCheckpoint()
+        if rounds is not None:
+            if r >= rounds:
+                break
+        else:
+            nxt = alive.count()
+            if nxt == n_alive:
+                break
+            n_alive = nxt
     return deg.where(F.col("core_deg") >= k).select("node", "core_deg")
 
 

@@ -159,24 +159,28 @@ def pii_scan(
     \\b — no lookaround, so the oracle replays counts AND redacted bytes
     exactly. Redaction order (email, then IPv4, then phone) is part of
     the contract: an email's host can contain digits-and-dots that the
-    IPv4 pattern would otherwise claim."""
+    IPv4 pattern would otherwise claim. Each count is therefore taken on
+    the PROGRESSIVELY redacted text — n_ipv4 counts matches the email
+    pass left behind, n_phone what the first two passes left — so every
+    count equals the number of its placeholders in ``redacted`` (a
+    digits-and-dots email host like a@1.2.3.44.co increments n_email
+    only, never n_ipv4; round-3 advice item)."""
     t = F.col(text_col)
-    n = lambda p: F.coalesce(  # noqa: E731 — local expr shorthand
-        F.size(F.regexp_extract_all(t, F.lit(p), F.lit(0))), F.lit(0)
+    n = lambda expr, p: F.coalesce(  # noqa: E731 — local expr shorthand
+        F.size(F.regexp_extract_all(expr, F.lit(p), F.lit(0))), F.lit(0)
     )
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
-        ),
-        PII_PHONE,
-        "<PHONE>",
-    )
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    redacted = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+    n_email = n(t, PII_EMAIL)
+    n_ipv4 = n(after_email, PII_IPV4)
+    n_phone = n(after_ip, PII_PHONE)
     return df.select(
         id_col,
-        n(PII_EMAIL).alias("n_email"),
-        n(PII_IPV4).alias("n_ipv4"),
-        n(PII_PHONE).alias("n_phone"),
-        (n(PII_EMAIL) + n(PII_IPV4) + n(PII_PHONE) > 0).alias("has_pii"),
+        n_email.alias("n_email"),
+        n_ipv4.alias("n_ipv4"),
+        n_phone.alias("n_phone"),
+        (n_email + n_ipv4 + n_phone > 0).alias("has_pii"),
         redacted.alias("redacted"),
     )
 

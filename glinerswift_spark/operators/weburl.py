@@ -56,8 +56,12 @@ def domain_stats(df: DataFrame, url_col: str = "url", chars_col: str = "n_chars"
     )
 
 
-# tracking params every crawl dedup strips (the public-consensus set)
-_TRACK_RE = "(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*"
+# tracking params every crawl dedup strips (the public-consensus set).
+# Anchored to the preceding ?/& separator (kept via $1) so the param NAME
+# must start right after it — an unanchored 'ref=' would also match inside
+# longer names (href=, xref=, pref=) and even path segments, silently
+# collapsing distinct URLs. DuckDB's RE2 replay spells the backref '\\1'.
+_TRACK_RE = "([?&])(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*"
 
 
 def canonical_url_expr(url_col):
@@ -77,7 +81,7 @@ def canonical_url_expr(url_col):
     host = F.regexp_replace(F.lower(hostport), ":(80|443)$", "")
     rest = F.regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+", "")
     rest = F.regexp_replace(rest, "#.*", "")
-    rest = F.regexp_replace(rest, _TRACK_RE, "")
+    rest = F.regexp_replace(rest, _TRACK_RE, "$1")
     rest = F.regexp_replace(rest, "[?&]+$", "")
     rest = F.regexp_replace(rest, "\\?&", "?")
     rest = F.regexp_replace(rest, "&&+", "&")

@@ -176,8 +176,13 @@ def main():
             label_propagation(e, iters=4),
             os.path.join(args.output, "communities"),
         )
+        # rounds=None = peel to the fixed point: the published kcore3
+        # artifact must be the TRUE 3-core, not a bounded-rounds upper
+        # bound — a real web graph's deletion cascades have no known
+        # bound (round-3 advice item). The bounded form stays for the
+        # SQL-replayable driver oracle only.
         write_table(
-            kcore_nodes(e, k=3, rounds=4), os.path.join(args.output, "kcore3")
+            kcore_nodes(e, k=3, rounds=None), os.path.join(args.output, "kcore3")
         )
         print(f"analytics complete -> {args.output}/(pagerank|degree|communities|kcore3)")
     spark.stop()

@@ -420,6 +420,28 @@ def test_kcore_matches_bruteforce_random(spark):
     assert got == want
 
 
+def test_kcore_fixpoint_beats_bounded_rounds(spark):
+    """rounds=None must peel a cascade LONGER than any fixed round
+    count: pendant chain of 8 off a triangle — 2-core cascade deletes
+    one chain node per round, so rounds=4 over-reports while the
+    fixed-point path (used by jobs/run_kg.py --analytics for the
+    published kcore3 artifact) returns exactly the triangle."""
+    from glinerswift_spark.operators.graph import kcore_nodes
+
+    chain = ["c", "d", "e", "f", "g", "h", "i", "j", "k"]
+    edges = [("a", "b", 1), ("b", "c", 1), ("a", "c", 1)] + [
+        (chain[i], chain[i + 1], 1) for i in range(len(chain) - 1)
+    ]
+    bounded = {r["node"] for r in kcore_nodes(
+        _edges(spark, edges), k=2, rounds=4
+    ).collect()}
+    assert bounded > {"a", "b", "c"}  # upper bound only: cascade unfinished
+    exact = {r["node"]: r["core_deg"] for r in kcore_nodes(
+        _edges(spark, edges), k=2, rounds=None
+    ).collect()}
+    assert exact == {"a": 2, "b": 2, "c": 2}
+
+
 def test_canonical_url_and_dedup(spark):
     from glinerswift_spark.operators.weburl import canonical_url_expr, url_dedup
 
@@ -429,6 +451,12 @@ def test_canonical_url_and_dedup(spark):
         (3, "http://example.com:80"),
         (4, "https://example.com/a/b/"),
         (5, "https://example.com/a/b"),
+        # tracking-param strip must anchor on the ?/& separator: 'ref='
+        # inside a LONGER param name (href=, xref=, pref=) or a path
+        # segment is payload, not tracking (round-3 advice item)
+        (6, "https://example.com/x?href=a"),
+        (7, "https://example.com/x?href=b"),
+        (8, "https://example.com/ref=seg/page?pref=dark&ref=tw"),
     ]
     df = spark.createDataFrame(cases, "doc_id long, url string")
     got = {
@@ -442,6 +470,12 @@ def test_canonical_url_and_dedup(spark):
     assert got[1] == got[2]
     assert got[3] == "http://example.com/"   # empty path -> '/'
     assert got[4] == got[5] == "https://example.com/a/b"
+    # href=a / href=b stay distinct (unanchored 'ref=' would collapse both
+    # to '?h'); path 'ref=seg' and param 'pref=dark' survive, real 'ref=tw'
+    # is stripped with separator cleanup
+    assert got[6] == "https://example.com/x?href=a"
+    assert got[7] == "https://example.com/x?href=b"
+    assert got[8] == "https://example.com/ref=seg/page?pref=dark"
 
     dedup = {
         (r["canonical_url"], r["n_urls"], r["keeper"])

@@ -430,6 +430,11 @@ def test_pii_scan_counts_and_redaction_order(spark):
             (1, "mail a.b+c@x9.co and b@y.org, ip 10.0.0.1, call +44 123-45678"),
             (2, "clean text with version 1.2 and no contacts"),
             (3, "server at 192.168.254.254 only"),
+            # digits-and-dots email host: the IPv4 pattern matches the
+            # RAW text but the email pass consumes it first — n_ipv4
+            # must count the post-email text so counts always equal the
+            # placeholders emitted (round-3 advice item)
+            (4, "ping a@1.2.3.44.co now"),
         ],
         "doc_id int, text string",
     )
@@ -443,6 +448,8 @@ def test_pii_scan_counts_and_redaction_order(spark):
     assert not out[2]["has_pii"] and out[2]["redacted"] == out[2]["redacted"]
     assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
     assert out[3]["n_ipv4"] == 1 and out[3]["has_pii"]
+    assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (1, 0, 0)
+    assert out[4]["redacted"] == "ping <EMAIL> now"
 
 
 def test_dedup_corpus_keep_combines_exact_and_near(spark):
