@@ -134,17 +134,25 @@ def extract_and_link(
     threshold: float | None = None,
     config: Configuration = DEFAULT_CONFIG,
     relation_cfg: RelationConfig | None = None,
+    entities: DataFrame | None = None,
 ):
-    """Composable flagship: returns (entities, triples) DataFrames."""
-    entities = extract_entities(
-        documents,
-        labels,
-        backend_spec,
-        text_col=text_col,
-        id_cols=[doc_col],
-        threshold=threshold,
-        config=config,
-    )
+    """Composable flagship: returns (entities, triples) DataFrames.
+
+    ``entities`` injects a precomputed (possibly persisted) extraction
+    relation — extraction is per-document, so a caller holding one
+    session-cached pass can fan out N downstream analytics without
+    paying N extraction re-runs (Spark shares no common subexpressions
+    across separately-built DataFrames)."""
+    if entities is None:
+        entities = extract_entities(
+            documents,
+            labels,
+            backend_spec,
+            text_col=text_col,
+            id_cols=[doc_col],
+            threshold=threshold,
+            config=config,
+        )
     triples = entities_to_triples(entities, relation_cfg, doc_col=doc_col)
     return entities, triples
 
@@ -186,11 +194,14 @@ def build_kg(
     config: Configuration = DEFAULT_CONFIG,
     relation_cfg: RelationConfig | None = None,
     linking_cfg=None,
+    entities: DataFrame | None = None,
 ) -> dict:
     """Full north-rule pipeline: documents -> entities -> triples ->
     linking -> connected components -> nodes/edges. Returns every
     intermediate as a DataFrame (each a pure transform; see
-    operators/checkpoint.py for the resumable materialization wrapper)."""
+    operators/checkpoint.py for the resumable materialization wrapper).
+    ``entities`` (optional) skips the extraction stage — see
+    extract_and_link."""
     from glinerswift_spark.config import LinkingConfig
     from glinerswift_spark.operators.graph import (
         materialize_edges,
@@ -203,7 +214,7 @@ def build_kg(
     entities, triples = extract_and_link(
         documents, labels, backend_spec,
         text_col=text_col, doc_col=doc_col, threshold=threshold,
-        config=config, relation_cfg=relation_cfg,
+        config=config, relation_cfg=relation_cfg, entities=entities,
     )
     mentions = attach_embeddings(
         mentions_from_entities(entities, doc_col), embeddings

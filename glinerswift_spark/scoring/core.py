@@ -22,9 +22,13 @@ in ref Scripts/generate_test_fixtures.py:80-106, which uses a stable sort.
 from __future__ import annotations
 
 import math
+from operator import itemgetter
 from typing import NamedTuple
 
 import numpy as np
+
+_SCORE_KEY = itemgetter(3)
+_START_KEY = itemgetter(0)
 
 
 class Entity(NamedTuple):
@@ -187,6 +191,19 @@ def greedy_select_candidates(
     sets one bisect neighbor check replaces the scan over all accepted
     spans; small sets keep the cheaper naive loop. Both orders of checks
     produce identical output (fuzz-pinned in tests)."""
+    # Fast path: single-word spans at strictly increasing starts — the
+    # dominant lexicon-hit shape — are pairwise disjoint, so greedy keeps
+    # EVERY candidate, and with unique starts the final (start asc,
+    # score desc) order is exactly the input enumeration order. One
+    # early-exit scan replaces sort + NMS + sort (path equivalence
+    # fuzz-pinned in tests/test_core_decode.py).
+    prev = -1
+    for c in candidates:
+        if c[1] != c[0] or c[0] <= prev:
+            break
+        prev = c[0]
+    else:
+        return list(candidates)
     if len(candidates) > 512:
         # numpy stable argsort on -score == the python stable sort below
         # (ties keep enumeration order) at a fraction of the key-lambda
@@ -197,18 +214,29 @@ def greedy_select_candidates(
         order = np.argsort(-scores, kind="stable")
         candidates = [candidates[i] for i in order.tolist()]
     else:
-        candidates = sorted(candidates, key=lambda c: -c[3])  # stable
+        # reverse=True on a stable sort keeps enumeration order for
+        # score ties (documented CPython behavior) — same total order as
+        # key=-score, without the per-element negation lambda
+        candidates = sorted(candidates, key=_SCORE_KEY, reverse=True)
     chosen: list[tuple[int, int, int, float]] = []
     if len(candidates) <= 128:
+        # accepted intervals as flat parallel lists: the inner check
+        # avoids tuple unpacking per accepted span (equal spans overlap,
+        # so the interval test alone rejects duplicates too)
+        astarts: list[int] = []
+        aends: list[int] = []
         for cand in candidates:
-            s, e, _li, _score = cand
+            s = cand[0]
+            e = cand[1]
             ok = True
-            for cs, ce, _, _ in chosen:
-                if (s == cs and e == ce) or not (s > ce or cs > e):
+            for i in range(len(astarts)):
+                if s <= aends[i] and astarts[i] <= e:
                     ok = False
                     break
             if ok:
                 chosen.append(cand)
+                astarts.append(s)
+                aends.append(e)
     else:
         from bisect import bisect_left, insort
 
@@ -221,7 +249,10 @@ def greedy_select_candidates(
                     continue  # overlaps the accepted neighbor
             chosen.append(cand)
             insort(iv, (s, e))
-    chosen.sort(key=lambda c: (c[0], -c[3]))  # ref SpanDecoder.swift:80-85
+    # chosen is in score-desc selection order, so a STABLE sort on start
+    # alone yields (start asc, score desc, then enumeration order) — the
+    # same total order as key=(start, -score) (ref SpanDecoder.swift:80-85)
+    chosen.sort(key=_START_KEY)
     return chosen
 
 

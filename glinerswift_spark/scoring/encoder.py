@@ -1,0 +1,183 @@
+"""File-loadable numpy transformer encoder — the encoder seam, exercised.
+
+The container ships no torch/onnxruntime and the reference ships no
+encoder weights, so extraction normally runs on deterministic stub
+states. This module proves the DEPLOYMENT PATH a real encoder takes,
+end to end:
+
+    weights on disk (raw little-endian fp32 + metadata.json — the
+    reference's artifact contract, ref SpanHead/SpanHeadResources.swift:
+    12-67, SpanHeadMetadata.swift)
+      -> Manifest artifact resolution (sources/manifest.py, ref
+         Models/GLiNERManifest.swift:31-88)
+      -> sc.broadcast(EncoderWeights) once on the driver  OR a
+         weights_dir opened per worker (spark-submit --files)
+      -> per-worker singleton (scoring.backends.get_backend spec cache)
+      -> BATCHED hidden states per encoding: one fused QKV GEMM per
+         layer over the whole [T, d] token matrix — zero per-token python
+
+``NumpyEncoder`` is a real (tiny) pre-LN transformer: token embeddings
+(a [V, d] table over the unigram tokenizer's bounded vocab), sinusoidal
+positions, N blocks of single-head self-attention + GELU-free ReLU FFN
+with residuals, final layer norm. Weights are random-init-then-saved —
+the VALUES are immaterial; the files -> broadcast -> batch CONTRACT is
+what the tests pin (a trained checkpoint in this format drops in
+without touching any pipeline code).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from glinerswift_spark.scoring.heads import _load_tensor, _save_tensor, _seeded
+
+METADATA = "encoder.json"
+
+
+def _layer_norm(x: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
+    mu = x.mean(axis=-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + 1e-5) * g + b
+
+
+def _softmax_rows(x: np.ndarray) -> np.ndarray:
+    x = x - x.max(axis=-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+class NumpyEncoder:
+    """Tiny pre-LN transformer over subword ids. All tensors float64 in
+    memory (loaded from fp32 files); forward is pure numpy GEMMs."""
+
+    def __init__(self, tensors: dict, n_layers: int, dim: int, vocab: int,
+                 max_len: int = 512):
+        self.t = tensors
+        self.n_layers = n_layers
+        self.dim = dim
+        self.vocab = vocab
+        # sinusoidal positions — derived, not stored (parameter-free)
+        pos = np.arange(max_len)[:, None]
+        i = np.arange(dim)[None, :]
+        angle = pos / np.power(10000.0, (2 * (i // 2)) / dim)
+        pe = np.where(i % 2 == 0, np.sin(angle), np.cos(angle))
+        self.pos = pe * 0.1
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def seeded(cls, dim: int = 64, n_layers: int = 2, vocab: int = 192,
+               key: str = "npencoder") -> "NumpyEncoder":
+        t = {"emb": _seeded((vocab, dim), key + ":emb")}
+        for l in range(n_layers):
+            p = f"l{l}."
+            for name, shape in (
+                ("wq", (dim, dim)), ("wk", (dim, dim)), ("wv", (dim, dim)),
+                ("wo", (dim, dim)),
+                ("w1", (dim, 4 * dim)), ("b1", (4 * dim,)),
+                ("w2", (4 * dim, dim)), ("b2", (dim,)),
+            ):
+                t[p + name] = _seeded(shape, f"{key}:{p}{name}")
+            for name in ("ln1", "ln2"):
+                t[p + name + ".g"] = np.ones(dim)
+                t[p + name + ".b"] = np.zeros(dim)
+        t["lnf.g"] = np.ones(dim)
+        t["lnf.b"] = np.zeros(dim)
+        return cls(t, n_layers, dim, vocab)
+
+    # -- the reference's raw-fp32 + metadata artifact contract -------------
+    def save(self, out_dir: str) -> str:
+        os.makedirs(out_dir, exist_ok=True)
+        meta = {
+            "n_layers": self.n_layers, "dim": self.dim, "vocab": self.vocab,
+            "tensors": {},
+        }
+        for name, arr in sorted(self.t.items()):
+            fn = name.replace("/", "_") + ".bin"
+            _save_tensor(arr, os.path.join(out_dir, fn))
+            meta["tensors"][name] = {"file": fn, "shape": list(arr.shape)}
+        path = os.path.join(out_dir, METADATA)
+        with open(path, "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
+        return path
+
+    @classmethod
+    def load(cls, base_dir: str) -> "NumpyEncoder":
+        with open(os.path.join(base_dir, METADATA)) as f:
+            meta = json.load(f)
+        t = {}
+        for name, info in meta["tensors"].items():
+            shape = tuple(info["shape"])
+            n = int(np.prod(shape)) if shape else 1
+            t[name] = _load_tensor(
+                os.path.join(base_dir, info["file"]), n
+            ).reshape(shape)
+        return cls(t, meta["n_layers"], meta["dim"], meta["vocab"])
+
+    # -- batched forward ---------------------------------------------------
+    def forward(self, input_ids, attention_mask) -> np.ndarray:
+        """[T] ids, [T] 0/1 mask -> [T, dim] hidden states. One GEMM set
+        per layer over the whole sequence; pad columns are attention-
+        masked out (pad ROWS are re-zeroed by the backend's P6 step)."""
+        ids = np.asarray(input_ids, dtype=np.int64) % self.vocab
+        T = ids.shape[0]
+        x = self.t["emb"][ids] + self.pos[:T]
+        live = np.asarray(attention_mask, dtype=bool)
+        t = self.t
+        scale = 1.0 / np.sqrt(self.dim)
+        for l in range(self.n_layers):
+            p = f"l{l}."
+            h = _layer_norm(x, t[p + "ln1.g"], t[p + "ln1.b"])
+            att = (h @ t[p + "wq"]) @ (h @ t[p + "wk"]).T * scale
+            att[:, ~live] = -1e30
+            x = x + (_softmax_rows(att) @ (h @ t[p + "wv"])) @ t[p + "wo"]
+            h = _layer_norm(x, t[p + "ln2.g"], t[p + "ln2.b"])
+            x = x + np.maximum(h @ t[p + "w1"] + t[p + "b1"], 0.0) @ t[p + "w2"]
+        return _layer_norm(x, t["lnf.g"], t["lnf.b"])
+
+
+# per-worker singleton: one weight load per (worker, dir) — the same
+# discipline get_backend applies to whole backends
+_ENCODER_CACHE: dict = {}
+
+
+def load_encoder_cached(weights_dir: str) -> NumpyEncoder:
+    enc = _ENCODER_CACHE.get(weights_dir)
+    if enc is None:
+        enc = _ENCODER_CACHE[weights_dir] = NumpyEncoder.load(weights_dir)
+    return enc
+
+
+@dataclass(frozen=True)
+class FileEncoderProvider:
+    """``hidden_states_provider`` backed by file-loaded encoder weights.
+
+    Exactly one of:
+      * ``weights_broadcast`` — sc.broadcast(NumpyEncoder) made on the
+        driver after .load(); .value is executor-cached by Spark (one
+        deserialization per worker, shared across tasks);
+      * ``weights_dir`` — loaded per worker through the module singleton
+        above (ship the directory via spark-submit --files and resolve
+        with Manifest.resolve_for_executors).
+
+    Hashable + picklable so it can sit inside the frozen
+    PromptEncodingSpec that keys the per-worker backend cache.
+    """
+
+    weights_dir: str = ""
+    weights_broadcast: object = None
+
+    def _encoder(self) -> NumpyEncoder:
+        if self.weights_broadcast is not None:
+            return self.weights_broadcast.value
+        if not self.weights_dir:
+            raise ValueError("FileEncoderProvider needs weights_dir or broadcast")
+        return load_encoder_cached(self.weights_dir)
+
+    def __call__(self, encoding, default_states: np.ndarray) -> np.ndarray:
+        return self._encoder().forward(
+            encoding.input_ids, encoding.attention_mask
+        )

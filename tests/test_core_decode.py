@@ -145,3 +145,51 @@ def test_label_groups_mismatched_length_raises():
     backend = GazetteerSpec.from_dict({("x", "a"): 0.9}).build()
     with _pytest.raises(ValueError, match="label_groups"):
         extract_document("x", ["a", "b"], backend, label_groups=[0])
+
+
+def _naive_greedy(candidates):
+    """Reference NMS: the spec as originally written — stable sort by
+    -score, scan every accepted span for overlap/duplicate, final
+    (start, -score) sort."""
+    cands = sorted(candidates, key=lambda c: -c[3])
+    chosen = []
+    for s, e, li, score in cands:
+        ok = True
+        for cs, ce, _, _ in chosen:
+            if (s == cs and e == ce) or not (s > ce or cs > e):
+                ok = False
+                break
+        if ok:
+            chosen.append((s, e, li, score))
+    chosen.sort(key=lambda c: (c[0], -c[3]))
+    return chosen
+
+
+def test_greedy_select_paths_match_naive_fuzz():
+    """All three implementation paths (disjoint fast path, small naive
+    loop, large bisect loop) must equal the reference spec — including
+    score ties, duplicate spans, and the single-word strictly-increasing
+    shape that triggers the fast path."""
+    import random
+
+    from glinerswift_spark.scoring.core import greedy_select_candidates
+
+    rng = random.Random(7)
+    score_pool = [0.5, 0.6, 0.6, 0.7, 0.9]  # deliberate ties
+    for trial in range(120):
+        n = rng.choice([0, 1, 3, 10, 30, 140, 600])
+        kind = trial % 3
+        cands = []
+        if kind == 0:  # fast-path shape: single words, strictly increasing
+            starts = sorted(rng.sample(range(1000), min(n, 1000)))
+            cands = [
+                (s, s, rng.randrange(3), rng.choice(score_pool)) for s in starts
+            ]
+        else:  # arbitrary overlapping spans, enumeration order
+            for _ in range(n):
+                s = rng.randrange(60)
+                w = rng.randrange(6)
+                cands.append((s, s + w, rng.randrange(3), rng.choice(score_pool)))
+            cands.sort(key=lambda c: (c[0], c[1] - c[0], c[2]))
+        got = greedy_select_candidates(list(cands))
+        assert got == _naive_greedy(cands), (trial, cands[:10])

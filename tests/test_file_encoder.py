@@ -1,0 +1,130 @@
+"""File-loaded numpy encoder through the full deployment path.
+
+Round-4 closure of the "exercise the encoder seam with file-loaded
+weights" item: weights saved in the reference's raw-fp32 + metadata
+artifact format (ref SpanHead/SpanHeadResources.swift:12-67), resolved
+via the Manifest contract (ref Models/GLiNERManifest.swift:31-88),
+loaded once per worker (or broadcast once per executor), and fed as
+BATCHED hidden states through the backend's hidden_states_provider seam
+into the Spark mapInPandas extraction operator. Oracle-style check: the
+distributed result must equal the single-process python twin row for
+row.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from glinerswift_spark.scoring.backends import PromptEncodingSpec, get_backend
+from glinerswift_spark.scoring.encoder import FileEncoderProvider, NumpyEncoder
+
+LABELS = ["person", "organization"]
+TEXTS = [
+    (0, "john smith works at apple inc"),
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "maria garcia joined the acme corporation board in march"),
+    (3, ""),
+    (4, "scan the table then join the column stream"),
+]
+
+
+def test_save_load_roundtrip(tmp_path):
+    enc = NumpyEncoder.seeded(dim=32, n_layers=2, vocab=96, key="t:rt")
+    d = str(tmp_path / "enc")
+    enc.save(d)
+    loaded = NumpyEncoder.load(d)
+    ids = [3, 17, 88, 5, 5, 41]
+    mask = [1, 1, 1, 1, 1, 0]
+    a = enc.forward(ids, mask)
+    b = loaded.forward(ids, mask)
+    # fp32 file quantization only
+    assert a.shape == b.shape == (6, 32)
+    assert np.allclose(a, b, atol=1e-4)
+    # second round-trip is exact (values already fp32-representable)
+    d2 = str(tmp_path / "enc2")
+    loaded.save(d2)
+    again = NumpyEncoder.load(d2)
+    assert all(
+        np.array_equal(loaded.t[k], again.t[k]) for k in loaded.t
+    )
+
+
+def test_pad_positions_do_not_perturb_live_rows():
+    # the P6 analogue at the encoder level: appending masked pad tokens
+    # must leave every live row's hidden state unchanged (pad columns are
+    # attention-masked; LN/FFN are per-row)
+    enc = NumpyEncoder.seeded(dim=32, n_layers=2, vocab=96, key="t:pad")
+    ids = [7, 9, 23, 51]
+    base = enc.forward(ids, [1, 1, 1, 1])
+    padded = enc.forward(ids + [0, 0, 0], [1, 1, 1, 1, 0, 0, 0])
+    assert np.allclose(base, padded[:4], atol=1e-9)
+
+
+def _manifest_provider(tmp_path) -> FileEncoderProvider:
+    d = tmp_path / "model"
+    enc_dir = d / "encoder_np"
+    enc_dir.mkdir(parents=True)
+    NumpyEncoder.seeded(dim=64, n_layers=2, vocab=192, key="npencoder").save(
+        str(enc_dir)
+    )
+    (d / "manifest.json").write_text(
+        json.dumps(
+            {"model_id": "np-encoder-test",
+             "hidden_size": 64,
+             "artifacts": {"encoder": "encoder_np"}}
+        )
+    )
+    from glinerswift_spark.sources.manifest import Manifest
+
+    m = Manifest.load(str(d / "manifest.json"))
+    resolved = m.resolve_resources(str(d))
+    return FileEncoderProvider(weights_dir=resolved["encoder"])
+
+
+def test_manifest_file_encoder_extraction_matches_local_twin(spark, tmp_path):
+    from glinerswift_spark.operators.extract import extract_entities
+    from glinerswift_spark.scoring.pipeline import extract_document
+
+    provider = _manifest_provider(tmp_path)
+    spec = PromptEncodingSpec(hidden_states_provider=provider)
+    docs = spark.createDataFrame(TEXTS, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.label, r.entity, round(r.score, 10), r.start, r.end)
+        for r in extract_entities(docs, LABELS, spec, threshold=0.05).collect()
+    )
+    backend = get_backend(spec)
+    want = sorted(
+        (doc_id, e.label, e.text, round(e.score, 10), e.start, e.end)
+        for doc_id, text in TEXTS
+        for e in extract_document(text, LABELS, backend, threshold=0.05)
+    )
+    assert got == want
+    assert got, "file-loaded encoder produced no entities at threshold 0.05"
+
+
+def test_broadcast_encoder_matches_weights_dir(spark, tmp_path):
+    from glinerswift_spark.operators.extract import extract_entities
+
+    provider_dir = _manifest_provider(tmp_path)
+    enc = NumpyEncoder.load(provider_dir.weights_dir)
+    bc = spark.sparkContext.broadcast(enc)
+    provider_bc = FileEncoderProvider(weights_broadcast=bc)
+
+    docs = spark.createDataFrame(TEXTS, "doc_id long, text string")
+    via_dir = sorted(
+        map(tuple, extract_entities(
+            docs, LABELS, PromptEncodingSpec(hidden_states_provider=provider_dir),
+            threshold=0.05,
+        ).collect())
+    )
+    via_bc = sorted(
+        map(tuple, extract_entities(
+            docs, LABELS, PromptEncodingSpec(hidden_states_provider=provider_bc),
+            threshold=0.05,
+        ).collect())
+    )
+    assert via_dir == via_bc
+    assert via_dir
