@@ -235,3 +235,20 @@ def test_tpch_q6_filters_reach_the_scan(spark, queries):
     for col in ("l_shipdate", "l_quantity", "l_extendedprice", "l_discount"):
         assert col in schema
     assert "l_orderkey" not in schema and "l_tax" not in schema
+
+
+def test_kg_family_reuses_session_cached_extraction(spark, queries):
+    """The session cache must actually be SUBSTITUTED into downstream
+    plans: after any kg query touches the cache, kg_nodes' executed plan
+    reads InMemoryTableScan instead of re-running the MapInPandas
+    extraction, and a second kg consumer (node_centroids) shares the
+    same cached relations. This is the plan-level proof of the round-4
+    'shared extraction' fix — without the memo every branch re-extracts."""
+    entry._SESSION_CACHE.clear()
+    plan = plan_of(queries["kg_nodes"](spark, SF_DIR))
+    assert "InMemoryTableScan" in plan
+    # extraction happens in the cached relation, not above it: the plan
+    # above the cache scan must not contain the extraction UDF stage
+    assert "MapInPandas" not in plan.split("InMemoryTableScan")[0]
+    plan2 = plan_of(queries["node_centroids"](spark, SF_DIR))
+    assert "InMemoryTableScan" in plan2
