@@ -95,23 +95,36 @@ def decode_spans(
     # [words x widths x labels] tensor; sigmoid runs only on survivors.
     if threshold >= 1.0:
         return []
-    keep = np.argwhere(logits >= (logit(threshold) if threshold > 0.0 else -np.inf))
-    if keep.size == 0:
+    # candidates in enumeration order (start, width, label) — nonzero is
+    # row-major so this IS that order; the stable sort downstream
+    # preserves it for ties, pinning the tie-break total order.
+    # np.nonzero (three flat index arrays) instead of argwhere: skips the
+    # [N,3] stack + the per-column re-slices.
+    ss, ww, ll = np.nonzero(
+        logits >= (logit(threshold) if threshold > 0.0 else -np.inf)
+    )
+    if ss.size == 0:
         return []
-
-    # candidates in enumeration order (start, width, label) — argwhere is
-    # row-major so this IS that order; the stable sort below preserves it
-    # for ties, pinning the tie-break total order. Out-of-document ends
-    # are dropped VECTORIZED before any python-object work.
-    in_doc = keep[:, 0] + keep[:, 1] < n_words
-    keep = keep[in_doc]
-    if keep.size == 0:
-        return []
-    kept_probs = sigmoid(logits[keep[:, 0], keep[:, 1], keep[:, 2]])
-    ends = keep[:, 0] + keep[:, 1]
+    # out-of-document ends dropped VECTORIZED before any python-object work
+    in_doc = ss + ww < n_words
+    if not in_doc.all():
+        ss, ww, ll = ss[in_doc], ww[in_doc], ll[in_doc]
+        if ss.size == 0:
+            return []
+    kept_probs = sigmoid(logits[ss, ww, ll])
+    # vectorized twin of greedy_select_candidates' disjoint fast path:
+    # all single-word spans at strictly increasing starts are pairwise
+    # disjoint — every candidate survives and enumeration order IS the
+    # final (start asc, score desc) order. Entities build straight from
+    # the numpy columns, skipping the tuple list + NMS entirely.
+    if not ww.any() and (ss.size < 2 or bool((ss[1:] > ss[:-1]).all())):
+        out = []
+        for s, li, p in zip(ss.tolist(), ll.tolist(), kept_probs.tolist()):
+            cs, ce = spans[s]
+            out.append(Entity(text[cs:ce], labels[li], p, cs, ce))
+        return out
     candidates = list(
-        zip(keep[:, 0].tolist(), ends.tolist(), keep[:, 2].tolist(),
-            kept_probs.tolist())
+        zip(ss.tolist(), (ss + ww).tolist(), ll.tolist(), kept_probs.tolist())
     )
 
     chosen = greedy_select_candidates(candidates)

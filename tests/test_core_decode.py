@@ -193,3 +193,42 @@ def test_greedy_select_paths_match_naive_fuzz():
             cands.sort(key=lambda c: (c[0], c[1] - c[0], c[2]))
         got = greedy_select_candidates(list(cands))
         assert got == _naive_greedy(cands), (trial, cands[:10])
+
+
+def test_decode_spans_fast_path_matches_general_fuzz():
+    """decode_spans' vectorized single-word fast path must equal the
+    general candidates+NMS route on the same logits — fuzz across
+    single-word-only tensors (fast path) and mixed-width ones (slow)."""
+    import random
+
+    from glinerswift_spark.scoring.core import (
+        decode_candidates,
+        decode_spans,
+        logit as _logit,
+    )
+
+    rng = random.Random(13)
+    for trial in range(60):
+        n_words = rng.choice([1, 4, 9, 20])
+        max_w = 1 if trial % 2 == 0 else 4
+        labels = ["a", "b"]
+        words = [f"w{i}" for i in range(n_words)]
+        text = " ".join(words)
+        ws, off = [], 0
+        for w in words:
+            ws.append((off, off + len(w)))
+            off += len(w) + 1
+        entries = {}
+        for _ in range(rng.randrange(0, 3 * n_words + 1)):
+            s = rng.randrange(n_words)
+            w = rng.randrange(max_w)
+            li = rng.randrange(2)
+            entries[(s, w, li)] = rng.choice([0.4, 0.6, 0.6, 0.9])
+        lg = _logits(n_words, max_w, labels, entries)
+        via_dense = decode_spans(lg, labels, 0.5, text, ws)
+        # general route: sparse candidates in enumeration order
+        cands = sorted(
+            (s, w, li, _logit(sc)) for (s, w, li), sc in entries.items()
+        )
+        via_sparse = decode_candidates(cands, labels, 0.5, text, ws)
+        assert via_dense == via_sparse, (trial, entries)
