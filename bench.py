@@ -236,12 +236,33 @@ def bench_latency(
     from glinerswift_spark.scoring.backends import (
         FLAGSHIP_LABELS,
         NeuralStubSpec,
+        PromptEncodingSpec,
         flagship_gazetteer,
         get_backend,
     )
     from glinerswift_spark.scoring.pipeline import extract_document
 
-    spec = NeuralStubSpec() if backend == "neural" else flagship_gazetteer()
+    if backend == "neural":
+        spec = NeuralStubSpec()
+    elif backend == "encoder_file":
+        # per-request latency through the FILE-LOADED transformer encoder
+        # (the reference's single-document loop with a real-encoder-shaped
+        # cost profile): weights written then loaded from disk, per-worker
+        # singleton — the same path the Spark row times distributed
+        import tempfile
+
+        from glinerswift_spark.scoring.encoder import (
+            FileEncoderProvider,
+            NumpyEncoder,
+        )
+
+        enc_dir = tempfile.mkdtemp(prefix="npenc_lat_")
+        NumpyEncoder.seeded(key="npencoder").save(enc_dir)
+        spec = PromptEncodingSpec(
+            hidden_states_provider=FileEncoderProvider(weights_dir=enc_dir)
+        )
+    else:
+        spec = flagship_gazetteer()
     be = get_backend(spec)
     texts = (
         pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
@@ -309,7 +330,11 @@ def main():
             warmup=_arg("--warmup", 1),
             samples=_arg("--samples", 200),
             concurrency=_arg("--concurrency", 1),
-            backend="neural" if "--neural" in sys.argv else "gazetteer",
+            backend=(
+                "neural" if "--neural" in sys.argv
+                else "encoder_file" if "--encoder-file" in sys.argv
+                else "gazetteer"
+            ),
         )
         print(json.dumps({
             "metric": "latency_p50_ms",
