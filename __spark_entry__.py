@@ -1522,7 +1522,7 @@ __tok AS (
            CAST(coalesce(list_sum(list_transform(w[1:i-1], x -> length(x) + 1)), 0) AS INT) AS tok_start
     FROM __words, unnest(generate_series(1, len(w))) AS t(i)
 ),
-ent AS (
+ent AS MATERIALIZED (
     SELECT tok.doc_id, tok.i, lex.label, tok.term AS entity, lex.score,
            tok.tok_start AS ent_start,
            tok.tok_start + CAST(length(tok.term) AS INT) AS ent_end
@@ -1533,7 +1533,7 @@ _TRIPLE_CTE = f"""{_ENT_CTE},
 templ(la, lb, pred) AS (VALUES
     ('operator', 'object', 'acts_on'),
     ('object', 'operator', 'consumed_by')),
-trip AS (
+trip AS MATERIALIZED (
     SELECT a.entity AS subj, t.pred, b.entity AS obj, a.doc_id,
            round(least(a.score, b.score), 4) AS score
     FROM ent a
@@ -1591,7 +1591,7 @@ surf AS (
     SELECT lower(text) AS surface, label, min(mention_id) AS surface_id
     FROM mention GROUP BY 1, 2
 ),
-se AS (
+se AS MATERIALIZED (
     SELECT sv.surface, sv.label, sv.surface_id,
            list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM (
@@ -1643,7 +1643,7 @@ canon AS (
            coalesce(c.component, s.surface_id) AS canonical_id
     FROM surf s LEFT JOIN lcomp c USING (surface_id)
 ),
-mm AS (
+mm AS MATERIALIZED (
     SELECT m.mention_id, m.text, m.label, canon.canonical_id
     FROM mention m
     JOIN canon ON lower(m.text) = canon.surface AND m.label = canon.label
@@ -1680,7 +1680,7 @@ def _kg_edges_chain_sql(doc_where: str = "") -> str:
     for the filtered corpus."""
     chain = f"""WITH RECURSIVE {_TRIPLE_CTE},
 {_LINKING_CTE},
-smap AS (
+smap AS MATERIALIZED (
     SELECT lower(text) AS surface, min(canonical_id) AS canonical_id
     FROM mm GROUP BY 1
 ),
@@ -1851,7 +1851,7 @@ FROM resolved GROUP BY 1, 2, 3"""
 
     sql["kg_metapaths"] = f"""WITH RECURSIVE {_TRIPLE_CTE},
 {_LINKING_CTE},
-smap AS (
+smap AS MATERIALIZED (
     SELECT lower(text) AS surface, min(canonical_id) AS canonical_id
     FROM mm GROUP BY 1
 ),
@@ -2706,14 +2706,14 @@ WHERE n > 0"""
     _pr = [
         # NB: inside WITH RECURSIVE, DuckDB parses a top-level `A UNION B`
         # CTE as base-UNION-step recursion — wrap in DISTINCT-over-subquery
-        "prnodes AS (SELECT DISTINCT node FROM (SELECT src_id AS node FROM eg"
+        "prnodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src_id AS node FROM eg"
         " UNION ALL SELECT dst_id FROM eg))",
-        "ow AS (SELECT src_id, CAST(sum(weight) AS BIGINT) AS out_w FROM eg GROUP BY 1)",
+        "ow AS MATERIALIZED (SELECT src_id, CAST(sum(weight) AS BIGINT) AS out_w FROM eg GROUP BY 1)",
         f"r0 AS (SELECT node, CAST({10**12} AS BIGINT) AS r FROM prnodes)",
     ]
     for _i in range(5):
         _pr.append(
-            f"""r{_i + 1} AS (
+            f"""r{_i + 1} AS MATERIALIZED (
     SELECT n.node, {_pr_base} + (85 * COALESCE(s.m, 0)) // 100 AS r
     FROM prnodes n
     LEFT JOIN (
@@ -2726,7 +2726,7 @@ WHERE n > 0"""
         )
     sql["kg_pagerank"] = f"""WITH RECURSIVE {_TRIPLE_CTE},
 {_LINKING_CTE},
-smap AS (
+smap AS MATERIALIZED (
     SELECT lower(text) AS surface, min(canonical_id) AS canonical_id
     FROM mm GROUP BY 1
 ),
@@ -2736,7 +2736,7 @@ resolved AS (
     JOIN smap s1 ON lower(t.subj) = s1.surface
     JOIN smap s2 ON lower(t.obj) = s2.surface
 ),
-eg AS (SELECT src_id, dst_id, CAST(count(*) AS BIGINT) AS weight
+eg AS MATERIALIZED (SELECT src_id, dst_id, CAST(count(*) AS BIGINT) AS weight
        FROM resolved GROUP BY 1, 2),
 {", ".join(_pr)}
 SELECT node, r AS rank_int, round(CAST(r AS DOUBLE) / 1e12, 6) AS rank
