@@ -193,23 +193,44 @@ def ngram_jaccard_pairs(
         pair_stats = guarded_stats.withColumn("__i", F.col("__ig"))
     else:
         # candidate pairs share >= 1 guarded shingle, so guarded_stats IS
-        # the candidate set; correct its count with the high-df overlap,
-        # restricted to candidate pairs (left join: most pairs share none)
-        guarded_stats = guarded_stats.persist(StorageLevel.MEMORY_AND_DISK)
+        # the candidate set; correct its count with the high-df overlap.
+        # Shape matters here: the previous form exploded each candidate
+        # pair by docA's high-df shingles (join on doc_a) before matching
+        # docB — row count |pairs| x |hi-per-docA|, all landing in ONE
+        # sort-merge partition when a hot doc_a sits in millions of
+        # candidate pairs (measured: a single straggler task, 30+ GB,
+        # unbounded, at the 10x scale step where replication pushes most
+        # shingles over the df guard). Instead: aggregate each doc's
+        # high-df shingles into ONE sorted array and give every pair row
+        # its two arrays via 1:1 joins — zero row amplification, skew
+        # splittable by AQE, intersection computed per row. Row width is
+        # bounded by the doc's HIGH-DF shingle count (boilerplate — a few
+        # per doc under a production max_df that scales with corpus
+        # size), not by document size.
         hikeep = dfreq.where(F.col("count") > max_df).select("sh")
-        hi = exz.join(hikeep, "sh")
-        a_hi = hi.select(F.col(id_col).alias("doc_a"), "sh")
-        b_hi = hi.select(F.col(id_col).alias("doc_b"), "sh")
-        hi_counts = (
-            guarded_stats.select("doc_a", "doc_b")
-            .join(a_hi, "doc_a")
-            .join(b_hi, ["doc_b", "sh"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("__ih"))
+        hi_sets = (
+            exz.join(hikeep, "sh")
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_set("sh")).alias("__hs"))
         )
-        pair_stats = guarded_stats.join(
-            hi_counts, ["doc_a", "doc_b"], "left"
-        ).withColumn("__i", F.col("__ig") + F.coalesce(F.col("__ih"), F.lit(0)))
+        ha = hi_sets.select(
+            F.col(id_col).alias("doc_a"), F.col("__hs").alias("__ha")
+        )
+        hb = hi_sets.select(
+            F.col(id_col).alias("doc_b"), F.col("__hs").alias("__hb")
+        )
+        pair_stats = (
+            guarded_stats.join(ha, "doc_a", "left")
+            .join(hb, "doc_b", "left")
+            .withColumn(
+                "__ih",
+                F.when(
+                    F.col("__ha").isNotNull() & F.col("__hb").isNotNull(),
+                    F.size(F.array_intersect("__ha", "__hb")),
+                ).otherwise(F.lit(0)),
+            )
+            .withColumn("__i", F.col("__ig") + F.col("__ih"))
+        )
     jac = F.col("__i") / (F.col("__za") + F.col("__zb") - F.col("__i"))
     return pair_stats.select(
         "doc_a",

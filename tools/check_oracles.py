@@ -84,11 +84,21 @@ def main():
 
     import __spark_entry__ as entrymod
 
+    import os
+
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_GATE_CPUS', '8')}]"
+        )
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.python.worker.reuse", "true")
+        # collect() of a multi-million-row result (kg_triples at the 10x
+        # scale step) blows the 1g default heap
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_GATE_DRIVER_MEM", "12g"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -109,9 +119,14 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = queries[name](spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        try:
+            sdf = queries[name](spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # one bad query must not kill the batch
+            print(f"{name:24s} ERR  {type(exc).__name__}: {str(exc)[:200]}")
+            failures.append(name)
+            continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"{name:24s} rows-only: {len(srows):8d} rows   ({t_spark:.1f}s spark)")
