@@ -2919,9 +2919,14 @@ me AS (
     FROM mm JOIN se ON lower(mm.text) = se.surface AND mm.label = se.label
 ),
 ex AS (
-    SELECT canonical_id, i - 1 AS pos,
-           CAST(floor(v[i] * 1000000) AS BIGINT) AS q
-    FROM me, unnest(generate_series(1, len(v))) AS t(i)
+    -- parallel unnests zip row-wise in DuckDB; the previous lateral
+    -- `FROM me, unnest(generate_series(...)) t(i)` + v[i] carried the
+    -- whole 64-float list into every exploded row (1.4M x 64 at the 10x
+    -- scale step) and ground unbounded — zipped unnest is 3 s there
+    SELECT canonical_id,
+           unnest(generate_series(1, len(v))) - 1 AS pos,
+           CAST(floor(unnest(v) * 1000000) AS BIGINT) AS q
+    FROM me
 )
 SELECT canonical_id, CAST(pos AS INT) AS pos,
        CAST(sum(q) AS BIGINT) AS sum_q,
