@@ -80,13 +80,103 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     q = entrymod.queries()
 
-    # trusted input: SQL-oracle-green at 10x in the same gate run
-    pairs = [
-        (r["doc_a"], r["doc_b"])
-        for r in q["ngram_jaccard_dups"](spark, scale_dir).collect()
-    ]
+    # the pair relation: exact SQL oracle green at sf0.001/0.01/0.1; at
+    # 10x the full-oracle replay (exact jaccard over the x100-amplified
+    # candidate set, executed twice by the comparator) is intractable in
+    # DuckDB, so it is checked by SAMPLED exact replay below (values +
+    # per-doc completeness) before being trusted as union-find input
+    pair_rows = q["ngram_jaccard_dups"](spark, scale_dir).collect()
+    pairs = [(r["doc_a"], r["doc_b"]) for r in pair_rows]
     label = _union_find_min(pairs)
     results = {}
+
+    con0 = duckdb.connect()
+    con0.sql(
+        f"CREATE VIEW docs AS SELECT * FROM '{scale_dir}/documents.parquet'"
+    )
+    shingle_cte = """
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                           i -> array_to_string(w[i:i+2], ' '))) AS s
+       FROM w WHERE len(w) >= 3),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sz AS (SELECT doc_id, len(s) AS z FROM sh)"""
+
+    # J1: sampled VALUE replay — every ~500th pair (sorted), exact
+    # jaccard recomputed in DuckDB from raw text, rounded like the engine
+    sample_pairs = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in pair_rows
+    )[:: max(1, len(pair_rows) // 200)]
+    ids = sorted({d for p in sample_pairs for d in p[:2]})
+    con0.sql(
+        "CREATE TABLE want AS SELECT * FROM (VALUES "
+        + ", ".join(f"({a}, {b})" for a, b, _ in sample_pairs)
+        + ") t(a, b)"
+    )
+    got_j = dict(
+        ((a, b), j)
+        for a, b, j in con0.sql(
+            f"""WITH {shingle_cte},
+s AS (SELECT doc_id, g FROM ex WHERE doc_id IN ({", ".join(map(str, ids))})),
+i AS (SELECT w.a, w.b, count(*) AS i
+      FROM want w JOIN s sa ON sa.doc_id = w.a
+                  JOIN s sb ON sb.doc_id = w.b AND sb.g = sa.g
+      GROUP BY 1, 2)
+SELECT i.a, i.b, round(i * 1.0 / (za.z + zb.z - i), 6)
+FROM i JOIN sz za ON za.doc_id = i.a JOIN sz zb ON zb.doc_id = i.b"""
+        ).fetchall()
+    )
+    bad_vals = [
+        (a, b, j, got_j.get((a, b)))
+        for a, b, j in sample_pairs
+        if got_j.get((a, b)) is None
+        or round(got_j[(a, b)], 12) != round(j, 12)
+    ]
+    results["ngram_jaccard_sampled_values"] = {
+        "n_sampled": len(sample_pairs),
+        "mismatches": bad_vals[:5],
+        "ok": not bad_vals,
+    }
+
+    # J2: sampled COMPLETENESS — for 25 docs, recompute ALL guarded-
+    # candidate partners with jaccard >= tau in DuckDB and compare the
+    # partner set with the engine's pairs restricted to those docs
+    probe = sorted({d for p in pairs for d in p})[:: max(
+        1, len({d for p in pairs for d in p}) // 25
+    )][:25]
+    tau = entrymod.JACCARD_TAU
+    max_df = entrymod.NGRAM_MAX_DF
+    duck_partners = {
+        (a, b)
+        for a, b in con0.sql(
+            f"""WITH {shingle_cte},
+dfreq AS (SELECT g, count(*) AS c FROM ex GROUP BY 1),
+pe AS (SELECT doc_id, g FROM ex WHERE doc_id IN ({", ".join(map(str, probe))})),
+cand AS (SELECT DISTINCT pe.doc_id AS d, ex.doc_id AS o
+         FROM pe JOIN dfreq USING (g) JOIN ex ON ex.g = pe.g
+         WHERE dfreq.c <= {max_df} AND ex.doc_id != pe.doc_id),
+i AS (SELECT c.d, c.o, count(*) AS i
+      FROM cand c JOIN ex ea ON ea.doc_id = c.d
+                  JOIN ex eb ON eb.doc_id = c.o AND eb.g = ea.g
+      GROUP BY 1, 2)
+SELECT least(i.d, i.o), greatest(i.d, i.o)
+FROM i JOIN sz za ON za.doc_id = i.d JOIN sz zb ON zb.doc_id = i.o
+WHERE round(i * 1.0 / (za.z + zb.z - i), 6) >= {tau}"""
+        ).fetchall()
+    }
+    probe_set = set(probe)
+    engine_partners = {
+        (a, b) for a, b in pairs if a in probe_set or b in probe_set
+    }
+    results["ngram_jaccard_sampled_completeness"] = {
+        "n_probe_docs": len(probe),
+        "engine_pairs": len(engine_partners),
+        "duck_pairs": len(duck_partners),
+        "missing_in_engine": sorted(duck_partners - engine_partners)[:5],
+        "extra_in_engine": sorted(engine_partners - duck_partners)[:5],
+        "ok": duck_partners == engine_partners,
+    }
 
     got_cc = {
         (r["doc_id"], r["component"])
