@@ -217,6 +217,65 @@ WHERE round(i * 1.0 / (za.z + zb.z - i), 6) >= {tau}"""
         "ok": got_kept == want_kept,
     }
 
+    # S1: simhash_pairs — the oracle's per-lang O(n^2) hamming join and
+    # the x100-amplified 44M-row output are comparator-intractable at
+    # 10x (engine: 41 s). Sampled twin: fingerprints for ALL docs replay
+    # in DuckDB (tractable — one pass over documents), then for 25 probe
+    # docs the FULL partner set (same lang, hamming <= max) is computed
+    # in python from those fingerprints and compared exactly — members
+    # AND hamming values — against the engine's rows touching the probes.
+    # replay of the simhash oracle's exact fingerprint derivation
+    # (hex-digit md5 bits — same construction as operators/dedup.simhash16)
+    bit_sum_exprs = []
+    for b in range(16):
+        hp = b // 4 + 1
+        shr = 3 - (b % 4)
+        bit = (
+            f"(CAST(floor((strpos('0123456789abcdef', "
+            f"substring(md5(x), {hp}, 1)) - 1) / {2 ** shr}) AS BIGINT) % 2)"
+        )
+        bit_sum_exprs.append(f"list_sum(list_transform(w, x -> {bit})) AS s{b}")
+    sh_value = " + ".join(
+        f"(CASE WHEN s{b} * 2 >= n THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    fp_rows = con0.sql(
+        "WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w, "
+        "len(string_split(text, ' ')) AS n FROM docs), "
+        "bits AS (SELECT doc_id, lang, n, " + ", ".join(bit_sum_exprs)
+        + f" FROM w) SELECT doc_id, lang, {sh_value} AS sh FROM bits"
+    ).fetchall()
+    fp = {r[0]: (r[1], r[2]) for r in fp_rows}
+    all_ids = sorted(fp)
+    probe_s = all_ids[:: max(1, len(all_ids) // 25)][:25]
+    max_h = entrymod.SIMHASH_MAX_HAMMING
+    want_s = set()
+    for d in probe_s:
+        lang_d, sh_d = fp[d]
+        for o, (lang_o, sh_o) in fp.items():
+            if o == d or lang_o != lang_d:
+                continue
+            h = bin(sh_d ^ sh_o).count("1")
+            if h <= max_h:
+                want_s.add((min(d, o), max(d, o), h))
+    from pyspark.sql import functions as F
+
+    sdf = q["simhash_pairs"](spark, scale_dir)
+    probe_lit = list(map(int, probe_s))
+    got_s = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in sdf.where(
+            F.col("doc_a").isin(probe_lit) | F.col("doc_b").isin(probe_lit)
+        ).collect()
+    }
+    results["simhash_sampled_partners"] = {
+        "n_probe_docs": len(probe_s),
+        "engine_pairs": len(got_s),
+        "twin_pairs": len(want_s),
+        "missing_in_engine": sorted(want_s - got_s)[:5],
+        "extra_in_engine": sorted(got_s - want_s)[:5],
+        "ok": got_s == want_s,
+    }
+
     ok = all(v["ok"] for v in results.values())
     for name, v in results.items():
         print(f"{name:24s} {'PASS' if v['ok'] else 'FAIL'}  {v}")
