@@ -1418,57 +1418,16 @@ def _q_node_centroids(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER IS LOAD-BEARING for the round driver (not semantics): the
+    # driver's CORRECTNESS capture records only the FIRST 50 entries.
+    # Rounds 2-4 witnessed the same first-50; the 26 entries added in
+    # round 3 never entered the window.  Round-5 rotation (VERDICT r4
+    # item 3): the 26 previously-unwitnessed queries lead, followed by
+    # 24 flagship veterans (driver-green in r2-r4), then the remaining
+    # 26 veterans.  All 76 keep full DuckDB oracles either way —
+    # `python tools/check_oracles.py <sf_dir>` checks every entry.
     return {
-        "kg_entities": _q_kg_entities,
-        "kg_triples": _q_kg_triples,
-        "kg_top_relations": _q_kg_top_relations,
-        "kg_entity_summary": _q_kg_entity_summary,
-        "kg_nodes": _q_kg_nodes,
-        "kg_edges": _q_kg_edges,
-        "exact_dedup": _q_exact_dedup,
-        "minhash_pairs": _q_minhash_pairs,
-        "ngram_jaccard_dups": _q_ngram_jaccard_dups,
-        "simhash_pairs": _q_simhash_pairs,
-        "near_dedup_components": _q_near_dedup_components,
-        "dedup_kept": _q_dedup_kept,
-        "embedding_neardup": _q_embedding_neardup,
-        "ann_topk": _q_ann_topk,
-        "ann_ivf": _q_ann_ivf,
-        "ann_lsh": _q_ann_lsh,
-        "ann_sq8": _q_ann_sq8,
-        "structure_fields": _q_structure_fields,
-        "structure_instances": _q_structure_instances,
-        "schema_entities": _q_schema_entities,
-        "schema_structures": _q_schema_structures,
-        "source_share": _q_source_share,
-        "kg_entities_chunked": _q_kg_entities_chunked,
-        "pages_entities": _q_pages_entities,
-        "classify_gazetteer": _q_classify_gazetteer,
-        "classify_softmax": _q_classify_softmax,
-        "per_request_entities": _q_per_request_entities,
-        "token_count": _q_token_count,
-        "quality_score": _q_quality_score,
-        "lang_id": _q_lang_id,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "classify_keyword": _q_classify_keyword,
-        "window_top_docs": _q_window_top_docs,
-        "bench_stats_lang": _q_bench_stats_lang,
-        "kg_entities_phrases": _q_kg_entities_phrases,
-        "kg_entities_thresholded": _q_kg_entities_thresholded,
-        "events_windowed": _q_events_windowed,
-        "events_sessionize": _q_events_sessionize,
-        "events_json_k": _q_events_json_k,
-        "percentile_chars": _q_percentile_chars,
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q6": _q_tpch_q6,
-        "orders_running_total": _q_orders_running_total,
-        "tpch_q5ish": _q_tpch_q5ish,
-        "kg_degree": _q_kg_degree,
-        "cooccur_lift": _q_cooccur_lift,
-        "decontaminate": _q_decontaminate,
-        "stratified_sample": _q_stratified_sample,
-        "events_asof": _q_events_asof,
+        # --- 26 rotated IN (driver-unwitnessed before round 5) ---
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "source_concentration": _q_source_concentration,
@@ -1495,6 +1454,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "host_quality": _q_host_quality,
         "node_centroids": _q_node_centroids,
+        # --- 24 flagship veterans (stay in the first-50 window) ---
+        "kg_entities": _q_kg_entities,
+        "kg_triples": _q_kg_triples,
+        "kg_entity_summary": _q_kg_entity_summary,
+        "kg_nodes": _q_kg_nodes,
+        "kg_edges": _q_kg_edges,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_pairs": _q_minhash_pairs,
+        "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+        "simhash_pairs": _q_simhash_pairs,
+        "near_dedup_components": _q_near_dedup_components,
+        "dedup_kept": _q_dedup_kept,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
+        "ann_lsh": _q_ann_lsh,
+        "ann_sq8": _q_ann_sq8,
+        "structure_fields": _q_structure_fields,
+        "structure_instances": _q_structure_instances,
+        "window_top_docs": _q_window_top_docs,
+        "events_asof": _q_events_asof,
+        "stratified_sample": _q_stratified_sample,
+        "decontaminate": _q_decontaminate,
+        "tpch_q1": _q_tpch_q1,
+        "classify_gazetteer": _q_classify_gazetteer,
+        # --- 26 rotated OUT (driver-green rounds 2-4; oracles intact) ---
+        "kg_top_relations": _q_kg_top_relations,
+        "schema_entities": _q_schema_entities,
+        "schema_structures": _q_schema_structures,
+        "source_share": _q_source_share,
+        "kg_entities_chunked": _q_kg_entities_chunked,
+        "pages_entities": _q_pages_entities,
+        "classify_softmax": _q_classify_softmax,
+        "per_request_entities": _q_per_request_entities,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "classify_keyword": _q_classify_keyword,
+        "bench_stats_lang": _q_bench_stats_lang,
+        "kg_entities_phrases": _q_kg_entities_phrases,
+        "kg_entities_thresholded": _q_kg_entities_thresholded,
+        "events_windowed": _q_events_windowed,
+        "events_sessionize": _q_events_sessionize,
+        "events_json_k": _q_events_json_k,
+        "percentile_chars": _q_percentile_chars,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q6": _q_tpch_q6,
+        "orders_running_total": _q_orders_running_total,
+        "tpch_q5ish": _q_tpch_q5ish,
+        "kg_degree": _q_kg_degree,
+        "cooccur_lift": _q_cooccur_lift,
     }
 
 

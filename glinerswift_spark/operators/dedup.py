@@ -134,6 +134,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = 1000,
+    hi_chunks: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with n-gram jaccard >= threshold.
 
@@ -146,6 +147,19 @@ def ngram_jaccard_pairs(
     still surfaces the value is identical to the unguarded form. Pass
     ``max_df=None`` for exhaustive candidate generation (small corpora /
     oracle replay parity).
+
+    ``hi_chunks``: width bound for the high-df correction (PLANS.md
+    "jaccard high-df width bound"). The default single-array form gives
+    every pair row one sorted array per side whose width is the doc's
+    ABOVE-max_df shingle count — fine under a production max_df that
+    scales with corpus size (boilerplate is a few shingles per doc), but
+    O(doc) on a boilerplate-saturated corpus. With ``hi_chunks=K`` each
+    doc's high-df set is hash-split into <= K chunks (chunk =
+    xxhash64(shingle) % K, consistent across docs, so per-chunk
+    intersections sum EXACTLY to the total); pair rows join per matching
+    chunk and a pair-keyed sum folds them back. Row width drops to
+    ~|hi|/K for one extra pair-keyed aggregate; values are bit-identical
+    to the unchunked form (pinned in tests/test_dedup.py).
 
     The verification is NARROW by construction — no row anywhere carries
     a document-sized shingle array, so join-row width stays O(1) as
@@ -208,29 +222,64 @@ def ngram_jaccard_pairs(
         # per doc under a production max_df that scales with corpus
         # size), not by document size.
         hikeep = dfreq.where(F.col("count") > max_df).select("sh")
-        hi_sets = (
-            exz.join(hikeep, "sh")
-            .groupBy(id_col)
-            .agg(F.sort_array(F.collect_set("sh")).alias("__hs"))
-        )
-        ha = hi_sets.select(
-            F.col(id_col).alias("doc_a"), F.col("__hs").alias("__ha")
-        )
-        hb = hi_sets.select(
-            F.col(id_col).alias("doc_b"), F.col("__hs").alias("__hb")
-        )
-        pair_stats = (
-            guarded_stats.join(ha, "doc_a", "left")
-            .join(hb, "doc_b", "left")
-            .withColumn(
-                "__ih",
-                F.when(
-                    F.col("__ha").isNotNull() & F.col("__hb").isNotNull(),
-                    F.size(F.array_intersect("__ha", "__hb")),
-                ).otherwise(F.lit(0)),
+        hi = exz.join(hikeep, "sh")
+        if hi_chunks:
+            # width-bounded variant: hash-split each doc's high-df set
+            # into <= hi_chunks rows. chunk = xxhash64(sh) % K is the
+            # SAME for a shingle in every doc, so Ahi∩Bhi partitions
+            # disjointly by chunk and the per-chunk intersect sizes sum
+            # exactly. Missing chunks (either side) contribute 0 via the
+            # inner chunk join + left pair join below.
+            hic = (
+                hi.withColumn(
+                    "__c", F.pmod(F.xxhash64("sh"), F.lit(hi_chunks)).cast("int")
+                )
+                .groupBy(id_col, "__c")
+                .agg(F.sort_array(F.collect_set("sh")).alias("__hs"))
             )
-            .withColumn("__i", F.col("__ig") + F.col("__ih"))
-        )
+            ha = hic.select(
+                F.col(id_col).alias("doc_a"), "__c", F.col("__hs").alias("__ha")
+            )
+            hb = hic.select(
+                F.col(id_col).alias("doc_b"), "__c", F.col("__hs").alias("__hb")
+            )
+            hi_overlap = (
+                guarded_stats.select("doc_a", "doc_b")
+                .join(ha, "doc_a")
+                .join(hb, ["doc_b", "__c"])
+                .withColumn("__ihc", F.size(F.array_intersect("__ha", "__hb")))
+                .groupBy("doc_a", "doc_b")
+                .agg(F.sum("__ihc").alias("__ih"))
+            )
+            pair_stats = (
+                guarded_stats.join(hi_overlap, ["doc_a", "doc_b"], "left")
+                .withColumn(
+                    "__i",
+                    F.col("__ig") + F.coalesce(F.col("__ih"), F.lit(0)).cast("long"),
+                )
+            )
+        else:
+            hi_sets = hi.groupBy(id_col).agg(
+                F.sort_array(F.collect_set("sh")).alias("__hs")
+            )
+            ha = hi_sets.select(
+                F.col(id_col).alias("doc_a"), F.col("__hs").alias("__ha")
+            )
+            hb = hi_sets.select(
+                F.col(id_col).alias("doc_b"), F.col("__hs").alias("__hb")
+            )
+            pair_stats = (
+                guarded_stats.join(ha, "doc_a", "left")
+                .join(hb, "doc_b", "left")
+                .withColumn(
+                    "__ih",
+                    F.when(
+                        F.col("__ha").isNotNull() & F.col("__hb").isNotNull(),
+                        F.size(F.array_intersect("__ha", "__hb")),
+                    ).otherwise(F.lit(0)),
+                )
+                .withColumn("__i", F.col("__ig") + F.col("__ih"))
+            )
     jac = F.col("__i") / (F.col("__za") + F.col("__zb") - F.col("__i"))
     return pair_stats.select(
         "doc_a",

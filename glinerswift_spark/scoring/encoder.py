@@ -60,12 +60,19 @@ class NumpyEncoder:
         self.n_layers = n_layers
         self.dim = dim
         self.vocab = vocab
-        # sinusoidal positions — derived, not stored (parameter-free)
+        # sinusoidal positions — derived, not stored (parameter-free);
+        # extended lazily in forward() when a sequence outgrows the table
+        # (PromptEncodingSpec.max_seq_len is configurable, so 512 is a
+        # starting capacity, not a limit — ADVICE r4)
+        self.pos = self._sinusoid(max_len, dim)
+
+    @staticmethod
+    def _sinusoid(max_len: int, dim: int) -> np.ndarray:
         pos = np.arange(max_len)[:, None]
         i = np.arange(dim)[None, :]
         angle = pos / np.power(10000.0, (2 * (i // 2)) / dim)
         pe = np.where(i % 2 == 0, np.sin(angle), np.cos(angle))
-        self.pos = pe * 0.1
+        return pe * 0.1
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -124,6 +131,11 @@ class NumpyEncoder:
         masked out (pad ROWS are re-zeroed by the backend's P6 step)."""
         ids = np.asarray(input_ids, dtype=np.int64) % self.vocab
         T = ids.shape[0]
+        if T > self.pos.shape[0]:
+            # grow geometrically so repeated long sequences rebuild O(log)
+            # times; values for existing rows are identical (pure function
+            # of (position, dim))
+            self.pos = self._sinusoid(max(T, 2 * self.pos.shape[0]), self.dim)
         x = self.t["emb"][ids] + self.pos[:T]
         live = np.asarray(attention_mask, dtype=bool)
         t = self.t

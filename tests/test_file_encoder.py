@@ -128,3 +128,23 @@ def test_broadcast_encoder_matches_weights_dir(spark, tmp_path):
     )
     assert via_dir == via_bc
     assert via_dir
+
+
+def test_forward_extends_position_table_past_512():
+    """ADVICE r4: a sequence longer than the initial 512-row sinusoidal
+    table must not raise — the table extends lazily, and values for the
+    first rows are unchanged (pure function of position)."""
+    enc = NumpyEncoder.seeded(dim=16, n_layers=1, vocab=64)
+    pos_before = enc.pos[:512].copy()
+    T = 700
+    ids = np.arange(T) % 64
+    mask = np.ones(T, dtype=np.int64)
+    out = enc.forward(ids, mask)
+    assert out.shape == (T, 16)
+    assert np.isfinite(out).all()
+    assert enc.pos.shape[0] >= T
+    np.testing.assert_allclose(enc.pos[:512], pos_before)
+    # short sequences after the extension are bit-identical to before
+    short = enc.forward(ids[:10], mask[:10])
+    enc2 = NumpyEncoder.seeded(dim=16, n_layers=1, vocab=64)
+    np.testing.assert_array_equal(short, enc2.forward(ids[:10], mask[:10]))

@@ -100,17 +100,37 @@ def test_structure_fields_single_extraction_pass(spark, queries):
 
 
 def test_jaccard_verify_join_is_narrow(spark):
-    """The exact-jaccard verification never ships document-sized shingle
-    arrays across the join: |A∩B| is counted on the exploded (doc,
-    shingle) relation and sizes join as (doc, int) — array_intersect
-    (which required both full arrays per candidate pair) must not
-    appear, and the aggregate keyed by the pair must."""
+    """The exact-jaccard verification (round-4 skew-safe shape,
+    operators/dedup.py): |A∩B| over BELOW-max_df shingles is counted on
+    the exploded (doc, shingle) relation keyed by the PAIR, and the
+    high-df correction attaches each doc's bounded sorted high-df array
+    via 1:1 left joins on doc_a / doc_b — never a join between candidate
+    pairs and exploded per-shingle rows (which amplified |pairs| x
+    |hi-per-doc| into one straggler partition at the 10x step).
+
+    Pinned: (a) the pair-keyed count aggregate exists; (b) NO Generate
+    (explode) sits above it — the correction never re-explodes pairs;
+    (c) the correction's build sides are per-doc collect_set aggregates
+    (1:1), with the bounded array_intersect computed per pair row."""
     from glinerswift_spark.operators.dedup import ngram_jaccard_pairs
 
     df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = plan_of(ngram_jaccard_pairs(df, threshold=0.5))
-    assert "array_intersect" not in plan
-    assert "count" in plan  # the pair-keyed intersection count aggregate
+    # (a) the pair-keyed intersection count aggregate
+    pair_agg = plan.index("HashAggregate(keys=[doc_a")
+    assert "count(1)" in plan
+    # (b) tree prints parents first: everything before the pair aggregate
+    # is ABOVE it. No explode there — the correction is 1:1, not pair×sh.
+    assert "Generate" not in plan[:pair_agg]
+    # (c) 1:1 array joins: per-doc high-df sets are aggregated once...
+    assert "collect_set" in plan
+    # ...and intersected per pair row (bounded width, see PLANS.md)
+    assert "array_intersect" in plan
+    # both correction joins are plain equi-joins on the doc key
+    above = plan[:pair_agg]
+    assert above.count("LeftOuter") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_stratified_sample_is_scan_side(spark, queries):
@@ -244,11 +264,24 @@ def test_kg_family_reuses_session_cached_extraction(spark, queries):
     extraction, and a second kg consumer (node_centroids) shares the
     same cached relations. This is the plan-level proof of the round-4
     'shared extraction' fix — without the memo every branch re-extracts."""
-    entry._SESSION_CACHE.clear()
-    plan = plan_of(queries["kg_nodes"](spark, SF_DIR))
-    assert "InMemoryTableScan" in plan
-    # extraction happens in the cached relation, not above it: the plan
-    # above the cache scan must not contain the extraction UDF stage
-    assert "MapInPandas" not in plan.split("InMemoryTableScan")[0]
-    plan2 = plan_of(queries["node_centroids"](spark, SF_DIR))
-    assert "InMemoryTableScan" in plan2
+    def _drain_cache():
+        # unpersist pinned storage so cached extraction state never leaks
+        # into later tests in the shared session (ADVICE r4)
+        for df in entry._SESSION_CACHE.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        entry._SESSION_CACHE.clear()
+
+    _drain_cache()
+    try:
+        plan = plan_of(queries["kg_nodes"](spark, SF_DIR))
+        assert "InMemoryTableScan" in plan
+        # extraction happens in the cached relation, not above it: the plan
+        # above the cache scan must not contain the extraction UDF stage
+        assert "MapInPandas" not in plan.split("InMemoryTableScan")[0]
+        plan2 = plan_of(queries["node_centroids"](spark, SF_DIR))
+        assert "InMemoryTableScan" in plan2
+    finally:
+        _drain_cache()

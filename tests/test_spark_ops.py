@@ -492,3 +492,39 @@ def test_kmv_distinct_sketch(spark):
     dup = big.union(big)
     r2 = kmv_distinct(dup, "v", k=256).first()
     assert r2 == r
+
+
+def test_jaccard_hi_chunked_correction_exact_on_boilerplate_corpus(spark):
+    """PLANS.md "jaccard high-df width bound": on a boilerplate-saturated
+    corpus (EVERY shared shingle above max_df — the adversarial case
+    where the per-doc high-df array is O(doc)), the hash-chunked
+    correction (hi_chunks=K) must return bit-identical rows to the
+    single-array form, and both must match an independent python
+    ground truth."""
+    boiler = " ".join(f"b{i}" for i in range(300))
+    docs = []
+    for k in range(6):
+        # docs (2k, 2k+1) share a 5-word unique tail -> below-max_df
+        # shingles keep the pair in the candidate set
+        tail = " ".join(f"t{k}_{j}" for j in range(5))
+        docs.append((2 * k, f"{boiler} {tail} u{2*k}"))
+        docs.append((2 * k + 1, f"{boiler} {tail} u{2*k+1}"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    kw = dict(n=3, threshold=0.0, max_df=5)
+    plain = sorted(map(tuple, ngram_jaccard_pairs(df, **kw).collect()))
+    chunked = sorted(
+        map(tuple, ngram_jaccard_pairs(df, hi_chunks=4, **kw).collect())
+    )
+    assert plain == chunked
+    assert len(plain) == 6  # exactly the six tail-sharing pairs
+
+    # independent ground truth: word-3-gram distinct shingle sets
+    def sh(text):
+        w = text.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+    sets = {d: sh(t) for d, t in docs}
+    for a, b, j in plain:
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert j == round(inter / union, 6), (a, b)

@@ -35,6 +35,7 @@ itself SQL-verified.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import duckdb
@@ -64,6 +65,7 @@ def _union_find_min(pairs):
 
 def main():
     scale_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf1"
+    cores = int(os.environ.get("SCALE_CORES", "8"))
 
     from pyspark.sql import SparkSession
 
@@ -71,21 +73,34 @@ def main():
     import __spark_entry__ as entrymod
 
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.driver.memory", "12g")
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(2 * cores))
+        .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
     q = entrymod.queries()
+    stage_t: dict = {"cores": cores}
+
+    import time as _time
+
+    def _timed(name, fn):
+        t0 = _time.time()
+        out = fn()
+        stage_t[name] = round(_time.time() - t0, 1)
+        print(f"[stage] {name}: {stage_t[name]}s", flush=True)
+        return out
 
     # the pair relation: exact SQL oracle green at sf0.001/0.01/0.1; at
     # 10x the full-oracle replay (exact jaccard over the x100-amplified
     # candidate set, executed twice by the comparator) is intractable in
     # DuckDB, so it is checked by SAMPLED exact replay below (values +
     # per-doc completeness) before being trusted as union-find input
-    pair_rows = q["ngram_jaccard_dups"](spark, scale_dir).collect()
+    pair_rows = _timed(
+        "ngram_jaccard_dups",
+        lambda: q["ngram_jaccard_dups"](spark, scale_dir).collect(),
+    )
     pairs = [(r["doc_a"], r["doc_b"]) for r in pair_rows]
     label = _union_find_min(pairs)
     results = {}
@@ -108,6 +123,36 @@ sz AS (SELECT doc_id, len(s) AS z FROM sh)"""
     sample_pairs = sorted(
         (r["doc_a"], r["doc_b"], r["jaccard"]) for r in pair_rows
     )[:: max(1, len(pair_rows) // 200)]
+    if not sample_pairs:
+        # zero engine pairs: "VALUES ()" is a DuckDB syntax error, and
+        # there is nothing to value-replay — cross-check emptiness
+        # explicitly instead (ADVICE r4): the engine is right to emit
+        # nothing iff DuckDB also finds no qualifying guarded pair.
+        n_duck = con0.sql(
+            f"""WITH {shingle_cte},
+dfreq AS (SELECT g, count(*) AS c FROM ex GROUP BY 1)
+SELECT count(*) FROM (
+  SELECT ea.doc_id, eb.doc_id
+  FROM ex ea JOIN dfreq USING (g)
+  JOIN ex eb ON eb.g = ea.g AND ea.doc_id < eb.doc_id
+  WHERE dfreq.c <= {entrymod.NGRAM_MAX_DF}
+  GROUP BY 1, 2) t"""
+        ).fetchone()[0]
+        results["ngram_jaccard_sampled_values"] = {
+            "n_sampled": 0,
+            "engine_empty": True,
+            "duck_candidate_pairs": n_duck,
+            # no candidates at all => trivially consistent; candidates
+            # but no pairs is only consistent if none clears tau, which
+            # the completeness probe below cannot run on an empty pair
+            # set — flag it for a human instead of crashing.
+            "ok": n_duck == 0,
+        }
+        ok = results["ngram_jaccard_sampled_values"]["ok"]
+        print(json.dumps({"scale_dir": scale_dir, "all_ok": ok,
+                          "checks": results}, default=str))
+        spark.stop()
+        sys.exit(0 if ok else 1)
     ids = sorted({d for p in sample_pairs for d in p[:2]})
     con0.sql(
         "CREATE TABLE want AS SELECT * FROM (VALUES "
@@ -180,7 +225,10 @@ WHERE round(i * 1.0 / (za.z + zb.z - i), 6) >= {tau}"""
 
     got_cc = {
         (r["doc_id"], r["component"])
-        for r in q["near_dedup_components"](spark, scale_dir).collect()
+        for r in _timed(
+            "near_dedup_components",
+            lambda: q["near_dedup_components"](spark, scale_dir).collect(),
+        )
     }
     want_cc = set(label.items())
     results["near_dedup_components"] = {
@@ -208,7 +256,10 @@ WHERE round(i * 1.0 / (za.z + zb.z - i), 6) >= {tau}"""
     want_kept = {(d, meta[d][0], meta[d][1]) for d in kept_ids}
     got_kept = {
         (r["doc_id"], r["lang"], r["n_tokens"])
-        for r in q["dedup_kept"](spark, scale_dir).collect()
+        for r in _timed(
+            "dedup_kept",
+            lambda: q["dedup_kept"](spark, scale_dir).collect(),
+        )
     }
     results["dedup_kept"] = {
         "n_kept": len(got_kept),
@@ -280,6 +331,7 @@ WHERE round(i * 1.0 / (za.z + zb.z - i), 6) >= {tau}"""
     for name, v in results.items():
         print(f"{name:24s} {'PASS' if v['ok'] else 'FAIL'}  {v}")
     print(json.dumps({"scale_dir": scale_dir, "all_ok": ok,
+                      "stage_seconds": stage_t,
                       "checks": results}, default=str))
     spark.stop()
     sys.exit(0 if ok else 1)
