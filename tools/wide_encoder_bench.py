@@ -45,7 +45,7 @@ spark.sparkContext.setLogLevel("ERROR")
 
 enc = NumpyEncoder.load({enc_dir!r})
 bc = spark.sparkContext.broadcast(enc)
-spec = PromptEncodingSpec(hidden_states_provider=FileEncoderProvider(
+spec = PromptEncodingSpec(dim={dim}, hidden_states_provider=FileEncoderProvider(
     weights_broadcast=bc))
 
 docs = spark.read.parquet({sf_dir!r} + "/documents.parquet")
@@ -72,9 +72,11 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, enc_dir: str, sf_dir: str, stride: int) -> dict:
+def run_level(cpus: int, enc_dir: str, sf_dir: str, stride: int,
+              dim: int) -> dict:
     code = RUN_TEMPLATE.format(
-        repo=REPO, cpus=cpus, enc_dir=enc_dir, sf_dir=sf_dir, stride=stride
+        repo=REPO, cpus=cpus, enc_dir=enc_dir, sf_dir=sf_dir, stride=stride,
+        dim=dim,
     )
     env = dict(
         os.environ,
@@ -113,8 +115,8 @@ def main():
     print(f"encoder d={args.dim} x{args.layers}L saved to {enc_dir}",
           file=sys.stderr)
 
-    low = run_level(args.low, enc_dir, args.sf_dir, args.stride)
-    high = run_level(args.high, enc_dir, args.sf_dir, args.stride)
+    low = run_level(args.low, enc_dir, args.sf_dir, args.stride, args.dim)
+    high = run_level(args.high, enc_dir, args.sf_dir, args.stride, args.dim)
     ratio = args.high / args.low
     eff = (high["docs_per_sec"] / low["docs_per_sec"]) / ratio
     print(json.dumps({
