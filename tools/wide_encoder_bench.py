@@ -24,6 +24,7 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 RUN_TEMPLATE = r"""
 import json, statistics, sys, time
