@@ -37,6 +37,17 @@ SEGMENT_SCHEMA = "schema"
 SEGMENT_SEPARATOR = "separator"
 SEGMENT_TEXT = "text"
 
+
+class EncodingOverflowError(ValueError):
+    """Combined schema+text subword sequence exceeds ``max_seq_len``.
+
+    The chunker budgets by WORD count (ref TextChunker.swift caps words,
+    not subwords), so a subword-dense web document — URL soup, CJK,
+    digit runs — can expand a within-budget chunk past the encoder's
+    context window. Typed so the extraction pipeline can catch it and
+    re-chunk at a smaller word budget instead of failing the whole
+    mapInPandas task on one pathological document."""
+
 # kind per special schema token (ref GLiNER2SchemaEncoding.swift:48-66)
 _PROMPT_KINDS = {
     TOKEN_PROMPT: "prompt",
@@ -146,7 +157,7 @@ def encode_schema_input(
             )
 
     if len(input_ids) > max_len:
-        raise ValueError(
+        raise EncodingOverflowError(
             f"schema input exceeds maximum length {max_len}: {len(input_ids)}"
         )
     return SchemaEncoding(

@@ -627,7 +627,14 @@ class PromptEncodingBackend:
         provider = self.spec.hidden_states_provider
         if provider is None:
             return states
-        out = np.asarray(provider(encoding, states), dtype=np.float64)
+        return self._finish_provider_states(
+            encoding, provider(encoding, states)
+        )
+
+    def _finish_provider_states(self, encoding, out) -> np.ndarray:
+        """Shared provider post-step: dtype, shape check, P6 re-zeroing
+        of masked positions (enforced REGARDLESS of provider)."""
+        out = np.asarray(out, dtype=np.float64)
         if out.shape != (len(encoding.input_ids), self.spec.dim):
             raise ValueError(
                 f"hidden_states_provider returned shape {out.shape}; "
@@ -732,16 +739,46 @@ class PromptEncodingBackend:
 
         max_w = DEFAULT_CONFIG.max_span_width
         n_lb = len(labels)
-        word_mats = []
-        label_projs = []
+        encodings = []
         for text, spans in zip(texts, spans_list):
             if not spans or n_lb == 0:
+                encodings.append(None)
+                continue
+            words = [text[s:e] for s, e in spans]
+            encodings.append(self.encode(words, labels))
+
+        # Cross-document encoder batching: a provider exposing
+        # forward_batch gets ALL the batch's encodings in one call, so a
+        # wide (DRAM-bandwidth-bound) encoder streams its weights once
+        # per micro-batch instead of once per document. Providers
+        # without the hook (WordStatesProvider, test seams) keep the
+        # per-document path; the default hash states are then computed
+        # per doc as before.
+        provider = self.spec.hidden_states_provider
+        states_by_doc: list = [None] * len(encodings)
+        if provider is not None and hasattr(provider, "forward_batch"):
+            live_idx = [i for i, e in enumerate(encodings) if e is not None]
+            batched = provider.forward_batch([encodings[i] for i in live_idx])
+            for i, raw in zip(live_idx, batched):
+                states_by_doc[i] = self._finish_provider_states(
+                    encodings[i], raw
+                )
+
+        word_mats = []
+        label_projs = []
+        for encoding, states in zip(encodings, states_by_doc):
+            if encoding is None:
                 word_mats.append(np.zeros((0, self.spec.dim)))
                 label_projs.append(None)
                 continue
-            words = [text[s:e] for s, e in spans]
-            encoding = self.encode(words, labels)
-            word_embs, prompts = self._project(encoding)
+            if states is None:
+                word_embs, prompts = self._project(encoding)
+            else:
+                from glinerswift_spark.functions.schema_encoding import (
+                    project_hidden_states,
+                )
+
+                word_embs, prompts = project_hidden_states(states, encoding)
             word_mats.append(word_embs)
             label_projs.append(
                 self.heads.prompt_proj(entity_label_embeddings(prompts, n_lb))

@@ -51,12 +51,18 @@ def _softmax_rows(x: np.ndarray) -> np.ndarray:
 
 
 class NumpyEncoder:
-    """Tiny pre-LN transformer over subword ids. All tensors float64 in
-    memory (loaded from fp32 files); forward is pure numpy GEMMs."""
+    """Tiny pre-LN transformer over subword ids. All tensors float32 in
+    memory — the artifact files ARE fp32, so float64 residency was pure
+    upcasting: it doubled per-forward DRAM traffic and halved SIMD width
+    for zero fidelity gain. At production width (d=512, 6 layers) the
+    forward is memory-bandwidth-bound — this host's DRAM saturates at
+    ~8 streaming cores (measured 36.5 GB/s at 8 procs vs 42.6 at 32) —
+    so halving bytes is the single biggest lever on both throughput and
+    N->4N core-scaling. Forward is pure numpy sgemm."""
 
     def __init__(self, tensors: dict, n_layers: int, dim: int, vocab: int,
                  max_len: int = 512):
-        self.t = tensors
+        self.t = {k: np.asarray(v, dtype=np.float32) for k, v in tensors.items()}
         self.n_layers = n_layers
         self.dim = dim
         self.vocab = vocab
@@ -72,7 +78,8 @@ class NumpyEncoder:
         i = np.arange(dim)[None, :]
         angle = pos / np.power(10000.0, (2 * (i // 2)) / dim)
         pe = np.where(i % 2 == 0, np.sin(angle), np.cos(angle))
-        return pe * 0.1
+        # computed in f64 for table-extension bit-stability, held in f32
+        return (pe * 0.1).astype(np.float32)
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -150,6 +157,51 @@ class NumpyEncoder:
             x = x + np.maximum(h @ t[p + "w1"] + t[p + "b1"], 0.0) @ t[p + "w2"]
         return _layer_norm(x, t["lnf.g"], t["lnf.b"])
 
+    def forward_many(self, ids_list: list, mask_list: list) -> list:
+        """Batched forward over B sequences, padded to the batch max T.
+
+        The forward is DRAM-bandwidth-bound at production width (see
+        class docstring): per-sequence calls re-stream every weight
+        matrix per document, so B documents cost B weight sweeps.
+        Batching runs each [B*T, d] GEMM once — weights stream ONCE per
+        micro-batch — which is the whole point of the north star's
+        "batched inference" (the reference's explicit per-doc TODO, ref
+        GLiNERModel.swift:179). Pad columns are attention-masked exactly
+        like single-sequence pads (exp(-1e30-max)=0 contributes nothing
+        to live rows — the pad-inertness property test_file_encoder
+        pins), and each output is sliced back to its true length, so
+        values match per-sequence forward() up to fp32 GEMM
+        reassociation."""
+        B = len(ids_list)
+        if B == 0:
+            return []
+        if B == 1:
+            return [self.forward(ids_list[0], mask_list[0])]
+        Ts = [len(x) for x in ids_list]
+        Tm = max(Ts)
+        if Tm > self.pos.shape[0]:
+            self.pos = self._sinusoid(max(Tm, 2 * self.pos.shape[0]), self.dim)
+        ids = np.zeros((B, Tm), dtype=np.int64)
+        live = np.zeros((B, Tm), dtype=bool)
+        for b, (idx, msk) in enumerate(zip(ids_list, mask_list)):
+            ids[b, : len(idx)] = np.asarray(idx, dtype=np.int64) % self.vocab
+            live[b, : len(msk)] = np.asarray(msk, dtype=bool)
+        x = self.t["emb"][ids] + self.pos[:Tm]          # [B, T, d]
+        neg = np.where(live[:, None, :], np.float32(0.0),
+                       np.float32(-1e30))               # [B, 1, T]
+        t = self.t
+        scale = 1.0 / np.sqrt(self.dim)
+        for l in range(self.n_layers):
+            p = f"l{l}."
+            h = _layer_norm(x, t[p + "ln1.g"], t[p + "ln1.b"])
+            q, k, v = h @ t[p + "wq"], h @ t[p + "wk"], h @ t[p + "wv"]
+            att = q @ k.transpose(0, 2, 1) * scale + neg
+            x = x + (_softmax_rows(att) @ v) @ t[p + "wo"]
+            h = _layer_norm(x, t[p + "ln2.g"], t[p + "ln2.b"])
+            x = x + np.maximum(h @ t[p + "w1"] + t[p + "b1"], 0.0) @ t[p + "w2"]
+        x = _layer_norm(x, t["lnf.g"], t["lnf.b"])
+        return [x[b, : Ts[b]] for b in range(B)]
+
 
 # per-worker singleton: one weight load per (worker, dir) — the same
 # discipline get_backend applies to whole backends
@@ -193,3 +245,27 @@ class FileEncoderProvider:
         return self._encoder().forward(
             encoding.input_ids, encoding.attention_mask
         )
+
+    # chunk size for forward_batch: bounds padded-activation memory
+    # (16 x ~300 x d) while keeping the 16x weight-stream amortization
+    BATCH_CHUNK = 16
+
+    def forward_batch(self, encodings: list) -> list:
+        """Batched hidden states for a list of SchemaEncodings (the
+        backend's score_documents seam). Sequences are length-sorted so
+        each chunk pads to near-uniform T (random order wastes up to
+        2-3x padded FLOPs), run through forward_many in chunks of
+        BATCH_CHUNK, and returned in the caller's order."""
+        enc = self._encoder()
+        order = sorted(range(len(encodings)),
+                       key=lambda i: len(encodings[i].input_ids))
+        out: list = [None] * len(encodings)
+        for lo in range(0, len(order), self.BATCH_CHUNK):
+            idxs = order[lo: lo + self.BATCH_CHUNK]
+            states = enc.forward_many(
+                [encodings[i].input_ids for i in idxs],
+                [encodings[i].attention_mask for i in idxs],
+            )
+            for i, s in zip(idxs, states):
+                out[i] = s
+        return out

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from glinerswift_spark.config import Configuration, DEFAULT_CONFIG
 from glinerswift_spark.functions.chunker import chunk_text
+from glinerswift_spark.functions.schema_encoding import EncodingOverflowError
 from glinerswift_spark.functions.text import word_spans
 from glinerswift_spark.scoring.core import (
     Entity,
@@ -108,11 +109,56 @@ def extract_document(
         logits = backend.score_document(piece, spans, labels)
         return decode_document_logits(logits, labels, thr, piece, spans, groups)
 
+    def run_safe(piece: str, spans: list | None = None) -> list[Entity]:
+        # The chunker budgets WORDS; encode-based backends budget
+        # SUBWORDS (spec.max_seq_len). A subword-dense chunk that
+        # overflows the context window re-chunks at half the word
+        # budget (geometric: len(spans) halves each level, so this
+        # terminates) instead of killing the whole mapInPandas task on
+        # one pathological web document. Documents that fit take the
+        # try-path untouched — output is bit-identical for them.
+        if spans is None:
+            spans = word_spans(piece)
+        if not spans:
+            return []
+        try:
+            return run(piece, spans)
+        except EncodingOverflowError:
+            if len(spans) <= 1:
+                # a single monster token (or a prompt that alone
+                # exceeds the window): degrade to no entities — a web
+                # pipeline must not die on one URL-soup blob
+                return []
+            # overlap must shrink with the window: chunk_text clamps
+            # overlap to window_len-1, so the default 512-char overlap
+            # against a few-hundred-char re-chunk window would advance
+            # ~1 char per chunk (quadratic chunk count). Keep the
+            # default's 1/8 window:overlap proportion instead.
+            sub = chunk_text(
+                piece,
+                max_chars=config.chunk_max_characters,
+                overlap=min(
+                    config.chunk_overlap_characters, len(piece) // 16
+                ),
+                max_words=max(1, len(spans) // 2),
+            )
+            if len(sub) <= 1:
+                # chunker could not split (single unbreakable window):
+                # hard-split at the median word boundary
+                mid = spans[len(spans) // 2][0]
+                return merge_chunk_entities([
+                    run_safe(piece[:mid]),
+                    shift_entities(run_safe(piece[mid:]), mid),
+                ])
+            return merge_chunk_entities(
+                [shift_entities(run_safe(c.text), c.start) for c in sub]
+            )
+
     # one regex pass decides chunking AND feeds the short-doc fast path
     # (should_chunk == word count > max, same WORD_RE as word_spans)
     spans_full = word_spans(text)
     if len(spans_full) <= config.chunk_max_words:
-        return run(text, spans_full)
+        return run_safe(text, spans_full)
 
     chunks = chunk_text(
         text,
@@ -121,8 +167,8 @@ def extract_document(
         max_words=config.chunk_max_words,
     )
     if len(chunks) <= 1:
-        return run(text, spans_full)
-    per_chunk = [shift_entities(run(c.text), c.start) for c in chunks]
+        return run_safe(text, spans_full)
+    per_chunk = [shift_entities(run_safe(c.text), c.start) for c in chunks]
     return merge_chunk_entities(per_chunk)
 
 
@@ -157,9 +203,20 @@ def extract_documents_batch(
     def flush():
         if not pending:
             return
-        logits_list = score_batch(
-            [p[1] for p in pending], [p[2] for p in pending], labels
-        )
+        try:
+            logits_list = score_batch(
+                [p[1] for p in pending], [p[2] for p in pending], labels
+            )
+        except EncodingOverflowError:
+            # one subword-dense doc must not sink the whole batch: fall
+            # back to the per-document path, whose run_safe re-chunks
+            # the overflowing doc(s); the rest re-score identically
+            for i, text, _spans in pending:
+                out[i] = extract_document(
+                    text, labels, backend, threshold, config, label_groups
+                )
+            pending.clear()
+            return
         for (i, text, spans), logits in zip(pending, logits_list):
             out[i] = decode_document_logits(
                 logits, labels, thr, text, spans, groups

@@ -304,3 +304,65 @@ def test_prompt_backend_max_seq_len_guard():
     b = spec.build()
     with pytest.raises(ValueError, match="maximum length"):
         b.encode(["word"] * 40, ["label"])
+
+
+# -- subword-overflow recovery (round 5) ---------------------------------
+# The chunker budgets WORDS (ref TextChunker.swift); encode-based
+# backends budget SUBWORDS (spec.max_seq_len). A subword-dense web doc
+# can overflow the context window inside a within-budget chunk — the
+# pipeline must re-chunk and extract, never kill the task.
+
+OVERFLOW_SPEC = None  # built lazily: module fixture scope is per-test here
+
+
+def _overflow_backend():
+    from glinerswift_spark.scoring.backends import PromptEncodingSpec
+
+    return PromptEncodingSpec(max_seq_len=48).build()
+
+
+def test_overflow_rechunk_extracts_instead_of_raising():
+    from glinerswift_spark.functions.schema_encoding import (
+        EncodingOverflowError,
+    )
+    from glinerswift_spark.scoring.pipeline import extract_document
+
+    b = _overflow_backend()
+    text = " ".join(["john", "smith", "works", "at", "apple", "inc."] * 10)
+    words = text.split(" ")
+    # the raw encode genuinely overflows this window (else the test is
+    # vacuous)
+    with pytest.raises(EncodingOverflowError):
+        b.encode(words, LABELS)
+    ents = extract_document(text, LABELS, b, threshold=0.05)
+    assert ents, "overflow re-chunk produced no entities at 0.05"
+    for e in ents:
+        assert text[e.start : e.end] == e.text  # offsets stay doc-relative
+    # deterministic across runs
+    assert ents == extract_document(text, LABELS, b, threshold=0.05)
+
+
+def test_overflow_monster_token_degrades_to_empty():
+    from glinerswift_spark.scoring.pipeline import extract_document
+
+    b = _overflow_backend()
+    ents = extract_document("x" * 5000, LABELS, b, threshold=0.05)
+    assert ents == []
+
+
+def test_overflow_in_batch_matches_per_document_path():
+    from glinerswift_spark.scoring.pipeline import (
+        extract_document,
+        extract_documents_batch,
+    )
+
+    b = _overflow_backend()
+    docs = [
+        "john smith",                                    # fits
+        " ".join(["apple", "inc.", "hires", "john"] * 15),  # overflows
+        "works at apple",                                # fits
+        "",                                              # empty
+    ]
+    batch = extract_documents_batch(docs, LABELS, b, threshold=0.05)
+    solo = [extract_document(t, LABELS, b, threshold=0.05) for t in docs]
+    assert batch == solo
