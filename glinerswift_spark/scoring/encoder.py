@@ -158,20 +158,25 @@ class NumpyEncoder:
         return _layer_norm(x, t["lnf.g"], t["lnf.b"])
 
     def forward_many(self, ids_list: list, mask_list: list) -> list:
-        """Batched forward over B sequences, padded to the batch max T.
+        """Batched forward over B sequences, PACKED (not padded) into one
+        [sum(T_i), d] token matrix.
 
         The forward is DRAM-bandwidth-bound at production width (see
         class docstring): per-sequence calls re-stream every weight
-        matrix per document, so B documents cost B weight sweeps.
-        Batching runs each [B*T, d] GEMM once — weights stream ONCE per
-        micro-batch — which is the whole point of the north star's
-        "batched inference" (the reference's explicit per-doc TODO, ref
-        GLiNERModel.swift:179). Pad columns are attention-masked exactly
-        like single-sequence pads (exp(-1e30-max)=0 contributes nothing
-        to live rows — the pad-inertness property test_file_encoder
-        pins), and each output is sliced back to its true length, so
-        values match per-sequence forward() up to fp32 GEMM
-        reassociation."""
+        matrix per document, so B documents cost B weight sweeps — the
+        north star's "batched inference" (the reference's explicit
+        per-doc TODO, ref GLiNERModel.swift:179). Packing beats padding
+        twice over: (1) a pad-to-batch-max layout inflates both the d^2
+        projections AND the O(T^2) attention by the pad ratio (measured
+        1.6x SLOWER than per-doc on sf0.1 web docs, T spread 107-478);
+        (2) numpy 1.26 routes 3D [B,T,d] @ [d,d] through a non-BLAS
+        stacked loop (~8x slower than one reshaped 2D sgemm at d=512).
+        Packed, every weight projection is ONE 2D [sumT, d] GEMM with
+        zero waste, and only the per-sequence attention — whose 2D
+        slices are exactly what forward() computes — loops in python.
+        Values therefore match per-sequence forward() up to fp32 GEMM
+        reassociation (pinned by test_forward_many_matches_per_sequence
+        at 1e-5)."""
         B = len(ids_list)
         if B == 0:
             return []
@@ -181,26 +186,36 @@ class NumpyEncoder:
         Tm = max(Ts)
         if Tm > self.pos.shape[0]:
             self.pos = self._sinusoid(max(Tm, 2 * self.pos.shape[0]), self.dim)
-        ids = np.zeros((B, Tm), dtype=np.int64)
-        live = np.zeros((B, Tm), dtype=bool)
-        for b, (idx, msk) in enumerate(zip(ids_list, mask_list)):
-            ids[b, : len(idx)] = np.asarray(idx, dtype=np.int64) % self.vocab
-            live[b, : len(msk)] = np.asarray(msk, dtype=bool)
-        x = self.t["emb"][ids] + self.pos[:Tm]          # [B, T, d]
-        neg = np.where(live[:, None, :], np.float32(0.0),
-                       np.float32(-1e30))               # [B, 1, T]
+        offs = [0]
+        for n in Ts:
+            offs.append(offs[-1] + n)
+        ids = np.concatenate([
+            np.asarray(i, dtype=np.int64) % self.vocab for i in ids_list
+        ])
+        dead = [  # per-sequence masked-out column indices (usually none)
+            np.nonzero(~np.asarray(m, dtype=bool))[0] for m in mask_list
+        ]
+        x = self.t["emb"][ids] + np.concatenate(
+            [self.pos[:n] for n in Ts]
+        )                                                # [sumT, d]
         t = self.t
         scale = 1.0 / np.sqrt(self.dim)
         for l in range(self.n_layers):
             p = f"l{l}."
             h = _layer_norm(x, t[p + "ln1.g"], t[p + "ln1.b"])
             q, k, v = h @ t[p + "wq"], h @ t[p + "wk"], h @ t[p + "wv"]
-            att = q @ k.transpose(0, 2, 1) * scale + neg
-            x = x + (_softmax_rows(att) @ v) @ t[p + "wo"]
+            av = np.empty_like(q)
+            for i in range(B):
+                s, e = offs[i], offs[i + 1]
+                att = q[s:e] @ k[s:e].T * scale
+                if dead[i].size:
+                    att[:, dead[i]] = -1e30
+                av[s:e] = _softmax_rows(att) @ v[s:e]
+            x = x + av @ t[p + "wo"]
             h = _layer_norm(x, t[p + "ln2.g"], t[p + "ln2.b"])
             x = x + np.maximum(h @ t[p + "w1"] + t[p + "b1"], 0.0) @ t[p + "w2"]
         x = _layer_norm(x, t["lnf.g"], t["lnf.b"])
-        return [x[b, : Ts[b]] for b in range(B)]
+        return [x[offs[i]: offs[i + 1]] for i in range(B)]
 
 
 # per-worker singleton: one weight load per (worker, dir) — the same
@@ -246,26 +261,45 @@ class FileEncoderProvider:
             encoding.input_ids, encoding.attention_mask
         )
 
-    # chunk size for forward_batch: bounds padded-activation memory
-    # (16 x ~300 x d) while keeping the 16x weight-stream amortization
-    BATCH_CHUNK = 16
+    # Packing pays only while the packed activations stay cache-resident:
+    # measured on this host (d=512 x 6L, taskset-pinned single core,
+    # B=16), packed-vs-per-seq speedup by sequence length is
+    #   T=10: 6.9x   T=25: 3.8x   T=50: 2.5x   T=100: 1.8x
+    #   T=200: 1.3x  T=400: 0.7x  (loses — the [sumT, 4d] FFN
+    # intermediate goes DRAM-bound while per-seq stays in L2/L3).
+    # So: sequences up to PACK_MAX_T pack, longer ones run per-sequence,
+    # and each packed call is capped at PACK_TOKEN_BUDGET total tokens
+    # (3072 tokens x 4d fp32 ≈ 25 MB FFN intermediate — the measured
+    # winning region).
+    PACK_MAX_T = 256
+    PACK_TOKEN_BUDGET = 3072
 
     def forward_batch(self, encodings: list) -> list:
         """Batched hidden states for a list of SchemaEncodings (the
-        backend's score_documents seam). Sequences are length-sorted so
-        each chunk pads to near-uniform T (random order wastes up to
-        2-3x padded FLOPs), run through forward_many in chunks of
-        BATCH_CHUNK, and returned in the caller's order."""
+        backend's score_documents seam): short sequences packed into
+        token-budgeted forward_many calls, long ones per-sequence."""
         enc = self._encoder()
-        order = sorted(range(len(encodings)),
-                       key=lambda i: len(encodings[i].input_ids))
         out: list = [None] * len(encodings)
-        for lo in range(0, len(order), self.BATCH_CHUNK):
-            idxs = order[lo: lo + self.BATCH_CHUNK]
+        pack: list = []   # chunks of indices, each under the token budget
+        cur: list = []
+        cur_tok = 0
+        for i, e in enumerate(encodings):
+            n = len(e.input_ids)
+            if n > self.PACK_MAX_T:
+                out[i] = enc.forward(e.input_ids, e.attention_mask)
+                continue
+            if cur and cur_tok + n > self.PACK_TOKEN_BUDGET:
+                pack.append(cur)
+                cur, cur_tok = [], 0
+            cur.append(i)
+            cur_tok += n
+        if cur:
+            pack.append(cur)
+        for chunk in pack:
             states = enc.forward_many(
-                [encodings[i].input_ids for i in idxs],
-                [encodings[i].attention_mask for i in idxs],
+                [encodings[i].input_ids for i in chunk],
+                [encodings[i].attention_mask for i in chunk],
             )
-            for i, s in zip(idxs, states):
+            for i, s in zip(chunk, states):
                 out[i] = s
         return out
