@@ -20,10 +20,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-WIDEN_WAVES = 4  # tasks per core when widening a too-narrow scan
+STRAGGLER_WAVES = 4  # tasks per core for chunky per-row work (see below)
 
 
-def widen_small_scan(df: DataFrame, key: str) -> DataFrame:
+def widen_small_scan(df: DataFrame, key: str, waves: int = 1) -> DataFrame:
     """Hash-repartition on ``key`` ONLY when the upstream plan yields
     fewer partitions than cores.
 
@@ -38,13 +38,23 @@ def widen_small_scan(df: DataFrame, key: str) -> DataFrame:
     broadcast-friendly plans (e.g. ANN top-k) are faster WITHOUT the
     extra exchange.
 
-    Widens to WAVES x cores, not cores: with exactly one task per core
-    the job's wall time is the SLOWEST partition, and for chunky
-    per-row work (a wide encoder at ~0.2 s/doc) hash-bucket count
-    variance plus doc-length variance costs 30-50% at the tail
-    (measured: the d=512 encoder bench scaled N->4N at 0.53 with one
-    wave). Several waves let the scheduler smooth stragglers — the same
-    reason real clusters run 2-4x tasks per slot.
+    ``waves`` — tasks per core, and the right value depends on per-ROW
+    cost, measured both ways on sf0.1 at local[32]:
+
+    * cheap rows (hash/gazetteer extraction, shingling: micro-seconds
+      per row) → waves=1. Per-task fixed overhead (python worker spin,
+      Arrow batch setup) dominates extra tasks: waves=4 measured ~2x
+      SLOWER on the fused flagship (0.84-1.43 s -> 1.81-2.69 s) and on
+      minhash_pairs.
+    * chunky rows (a d=512 file-loaded encoder at ~0.1-0.2 s/doc) →
+      STRAGGLER_WAVES. With one task per core the job's wall time is
+      the slowest hash bucket; doc-length plus bucket-count variance
+      cost 30-50% at the tail (the d=512 bench scaled N->4N at 0.53
+      with one wave). Several waves let the scheduler smooth
+      stragglers — why real clusters run 2-4x tasks per slot.
+
+    Callers with a configurable backend pick per spec: an attached
+    hidden_states_provider means chunky rows (operators/extract.py).
     """
     if df.isStreaming:
         # partition introspection (df.rdd) is illegal on a streaming
@@ -54,7 +64,7 @@ def widen_small_scan(df: DataFrame, key: str) -> DataFrame:
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
     if df.rdd.getNumPartitions() < cores:
-        return df.repartition(WIDEN_WAVES * cores, F.col(key))
+        return df.repartition(waves * cores, F.col(key))
     return df
 
 
