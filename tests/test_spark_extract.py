@@ -172,3 +172,39 @@ def test_adversarial_inputs_long_doc_and_extreme_threshold(spark):
     # threshold above every score -> clean empty result
     assert extract_entities(df, ["x"], GazetteerSpec.from_dict(lex),
                             threshold=0.99).count() == 0
+
+
+def test_widen_waves_selected_per_backend(spark, tmp_path):
+    # cheap backends (gazetteer/hash) must widen to EXACTLY one task
+    # wave per core; an attached hidden_states_provider means chunky
+    # per-row work and gets STRAGGLER_WAVES. Measured basis in
+    # sources/pages.widen_small_scan (the alternating sf0.1 A/B: 4
+    # waves ~2x slower for gazetteer, 30-50% tail win for a d=512
+    # encoder) — this pins the selection so a blanket default can't
+    # regress either side.
+    from glinerswift_spark.scoring.backends import PromptEncodingSpec
+    from glinerswift_spark.scoring.encoder import (
+        FileEncoderProvider,
+        NumpyEncoder,
+    )
+    from glinerswift_spark.sources.pages import STRAGGLER_WAVES
+
+    cores = spark.sparkContext.defaultParallelism
+    df = spark.createDataFrame(
+        [(i, "john smith works at apple") for i in range(50)],
+        "doc_id long, text string",
+    ).coalesce(1)  # narrower than cores => widen_small_scan fires
+
+    cheap = extract_entities(
+        df, ["x"], flagship_gazetteer(), threshold=0.5
+    )
+    assert cheap.rdd.getNumPartitions() == cores
+
+    enc = NumpyEncoder.seeded(dim=16, n_layers=1, vocab=64)
+    enc.save(str(tmp_path))
+    spec = PromptEncodingSpec(
+        dim=16,
+        hidden_states_provider=FileEncoderProvider(weights_dir=str(tmp_path)),
+    )
+    chunky = extract_entities(df, ["person"], spec, threshold=0.3)
+    assert chunky.rdd.getNumPartitions() == STRAGGLER_WAVES * cores
