@@ -267,28 +267,40 @@ class FileEncoderProvider:
     #   T=10: 6.9x   T=25: 3.8x   T=50: 2.5x   T=100: 1.8x
     #   T=200: 1.3x  T=400: 0.7x  (loses — the [sumT, 4d] FFN
     # intermediate goes DRAM-bound while per-seq stays in L2/L3).
-    # So: sequences up to PACK_MAX_T pack, longer ones run per-sequence,
-    # and each packed call is capped at PACK_TOKEN_BUDGET total tokens
-    # (3072 tokens x 4d fp32 ≈ 25 MB FFN intermediate — the measured
-    # winning region).
-    PACK_MAX_T = 256
-    PACK_TOKEN_BUDGET = 3072
+    # The token budget derives from that ONE measured anchor — 3,072
+    # packed tokens x 4d fp32 ≈ 25 MB FFN intermediate at d=512 was the
+    # edge of the winning region — expressed in BYTES so WIDER widths
+    # land on the same cache bound (a GLiNER2-class d=768 checkpoint
+    # gets ~2,048 tokens). The per-sequence cutoff is capped at the
+    # measured 256 and never raised for narrow dims: a d=64 sweep put
+    # the packed-vs-per-seq crossover at ~T=150 (1.12x at T=100, 0.90x
+    # at T=200) — the crossover moves EARLIER as dim shrinks because
+    # the O(T^2) attention (not amortizable by packing) takes a larger
+    # share — so min(256, budget/12) slightly overshoots for toys,
+    # costing ~10-25% on sub-millisecond documents, accepted for
+    # simplicity.
+    PACK_BYTES_BUDGET = 3072 * 4 * 512 * 4  # ≈ 25 MB, the d=512 anchor
+
+    def _pack_limits(self, dim: int) -> tuple:
+        budget = max(256, self.PACK_BYTES_BUDGET // (4 * dim * 4))
+        return min(256, budget // 12), budget
 
     def forward_batch(self, encodings: list) -> list:
         """Batched hidden states for a list of SchemaEncodings (the
         backend's score_documents seam): short sequences packed into
         token-budgeted forward_many calls, long ones per-sequence."""
         enc = self._encoder()
+        max_t, token_budget = self._pack_limits(enc.dim)
         out: list = [None] * len(encodings)
         pack: list = []   # chunks of indices, each under the token budget
         cur: list = []
         cur_tok = 0
         for i, e in enumerate(encodings):
             n = len(e.input_ids)
-            if n > self.PACK_MAX_T:
+            if n > max_t:
                 out[i] = enc.forward(e.input_ids, e.attention_mask)
                 continue
-            if cur and cur_tok + n > self.PACK_TOKEN_BUDGET:
+            if cur and cur_tok + n > token_budget:
                 pack.append(cur)
                 cur, cur_tok = [], 0
             cur.append(i)
