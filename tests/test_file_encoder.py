@@ -215,3 +215,34 @@ def test_batched_score_documents_matches_per_document(tmp_path):
         finite = np.isfinite(want)
         np.testing.assert_allclose(got[finite], want[finite], atol=1e-4)
         assert (np.isfinite(got) == finite).all()
+
+
+def test_forward_batch_degenerate_inputs(tmp_path):
+    # empty list -> empty list; single encoding -> per-sequence forward
+    # exactly (B==1 short-circuit); one over-cutoff sequence -> routed
+    # per-sequence with identical values
+    from glinerswift_spark.scoring.backends import PromptEncodingSpec
+
+    spec = PromptEncodingSpec(dim=48)
+    b = spec.build()
+    enc = NumpyEncoder.seeded(dim=48, n_layers=2, vocab=128, key="t:degen")
+    enc.save(str(tmp_path))
+    provider = FileEncoderProvider(weights_dir=str(tmp_path))
+    assert provider.forward_batch([]) == []
+
+    one = b.encode(["solo"], ["person"])
+    np.testing.assert_array_equal(
+        provider.forward_batch([one])[0],
+        enc.forward(one.input_ids, one.attention_mask),
+    )
+
+    max_t, _budget = provider._pack_limits(48)
+    long = b.encode(["w"] * (max_t + 4), ["person"])
+    assert len(long.input_ids) > max_t
+    got = provider.forward_batch([long, one])
+    np.testing.assert_array_equal(
+        got[0], enc.forward(long.input_ids, long.attention_mask)
+    )
+    np.testing.assert_allclose(
+        got[1], enc.forward(one.input_ids, one.attention_mask), atol=1e-5
+    )
