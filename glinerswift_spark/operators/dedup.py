@@ -28,7 +28,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from glinerswift_spark.functions.hashing import (
-    cosine,
     minhash_band_sig_from_hashes,
     shingle_hashes,
     shingles_expr,
@@ -66,6 +65,30 @@ def doc_shingles(
     )
 
 
+def _pair_expansion(ds, make):
+    """All i<j element pairs of a SORTED array column, as one flat array.
+
+    The in-partition replacement for a bucket self-join (guide §2.4 —
+    remove shuffles outright): a relation already grouped by its blocking
+    key holds each bucket as one sorted array, and this expression emits
+    every unordered pair exactly once (array sorted asc + i<j ⇒ first
+    element < second). Width bound: callers cap the bucket size BEFORE
+    collecting (max_df / max_bucket_size), so the expansion array holds
+    at most k(k-1)/2 structs — the same rows the self-join would stream,
+    built in one allocation instead of a sort-merge join of two branches.
+    """
+    k = F.size(ds)
+    return F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), k - i - F.lit(1)),
+                lambda y: make(x, y),
+            ),
+        )
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     n: int = 3,
@@ -77,7 +100,16 @@ def minhash_candidate_pairs(
     """LSH candidate pairs (doc_a < doc_b) sharing any band signature.
 
     ``max_bucket_size`` drops degenerate buckets (identical boilerplate at
-    web scale) before the self-join — the quadratic guard.
+    web scale) before pairs are generated — the quadratic guard.
+
+    Shape (round-6): ONE exchange of the signature relation by
+    (band, sig) feeds both the bucket-size census and the candidate
+    generation; surviving buckets are collected into sorted id arrays
+    (buffer <= max_bucket_size ids — bounded BECAUSE the census filter
+    runs first) and pairs come from an in-partition expansion
+    (_pair_expansion), replacing the previous sort-merge self-join of two
+    cached branches. Row set is identical: every unordered pair sharing a
+    surviving (band, sig) appears exactly once per bucket, then distinct.
     """
     sh = doc_shingles(df, n, text_col, id_col)
     # md5 per shingle materialized ONCE as its own projection; the band
@@ -100,12 +132,12 @@ def minhash_candidate_pairs(
         ).alias("bs"),
     ).select(id_col, "bs.band", "bs.sig")
 
-    # the signature relation is referenced FOUR times below (count side,
-    # join side, then both halves of the self-join); persisting it makes
-    # the scan-side md5 work run once instead of four times. Signatures
-    # are 4 small rows per doc — negligible next to the corpus — and
-    # persist keeps a recomputable lineage (unlike localCheckpoint) for
-    # executor loss at cluster scale.
+    # the signature relation is referenced twice below (census + join
+    # side); persisting it makes the scan-side md5 work run once.
+    # Signatures are 4 small rows per doc — negligible next to the corpus
+    # — and persist keeps a recomputable lineage (unlike localCheckpoint)
+    # for executor loss at cluster scale. Both consumers shuffle by
+    # (band, sig), so the exchange itself is reused too.
     from pyspark import StorageLevel
 
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
@@ -117,12 +149,18 @@ def minhash_candidate_pairs(
         .select("band", "sig"),
         ["band", "sig"],
     )
-    a = bounded.select(F.col("band"), F.col("sig"), F.col(id_col).alias("doc_a"))
-    b = bounded.select(F.col("band"), F.col("sig"), F.col(id_col).alias("doc_b"))
+    # bounded is partitioned by (band, sig) post-join: the group-collect
+    # below adds NO exchange, and per-bucket buffers are <= max_bucket_size
+    grp = bounded.groupBy("band", "sig").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
+    )
+    pairs = _pair_expansion(
+        F.col("__ids"),
+        lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+    )
     return (
-        a.join(b, ["band", "sig"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        grp.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -186,16 +224,62 @@ def ngram_jaccard_pairs(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ex = exz
-    if max_df is not None:
-        dfreq = exz.groupBy("sh").count()
-        keep = dfreq.where(F.col("count") <= max_df).select("sh")
-        ex = exz.join(keep, "sh")
-    a = ex.select(F.col(id_col).alias("doc_a"), "sh", F.col("__z").alias("__za"))
-    b = ex.select(F.col(id_col).alias("doc_b"), "sh", F.col("__z").alias("__zb"))
+    if max_df is None:
+        # exhaustive mode (small corpora / oracle replay parity): no df
+        # guard means no bound on a shingle's postings, so keep the
+        # streaming self-join — a group-collect here would buffer an
+        # unbounded bucket
+        a = exz.select(F.col(id_col).alias("doc_a"), "sh", F.col("__z").alias("__za"))
+        b = exz.select(F.col(id_col).alias("doc_b"), "sh", F.col("__z").alias("__zb"))
+        guarded_stats = (
+            a.join(b, "sh")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.count(F.lit(1)).alias("__ig"),
+                F.max("__za").alias("__za"),
+                F.max("__zb").alias("__zb"),
+            )
+        )
+        pair_stats = guarded_stats.withColumn("__i", F.col("__ig"))
+        jac = F.col("__i") / (F.col("__za") + F.col("__zb") - F.col("__i"))
+        return pair_stats.select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 6).alias("jaccard"),
+        ).where(F.col("jaccard") >= threshold)
+
+    dfreq = exz.groupBy("sh").count()
+    keep = dfreq.where(F.col("count") <= max_df).select("sh")
+    ex = exz.join(keep, "sh")
+    # Candidate generation + intersection counting in ONE grouped pass
+    # (round-6, guide §2.4): the guarded exploded relation, grouped by
+    # shingle, holds each shingle's (doc, |shingles|) postings as a
+    # sorted array — bounded by max_df BECAUSE the df filter runs first —
+    # and the shared-shingle incidence rows come from an in-partition
+    # pair expansion instead of the previous sort-merge self-join of two
+    # branches (two 10^6-row sorts at sf0.1; the expansion emits the
+    # exact same rows straight out of the grouped partition, with the
+    # (sh -> postings) groupBy riding the df-guard join's partitioning,
+    # so no new exchange). Per-shingle expansion width <= C(max_df, 2)
+    # structs — the same quadratic the guard already bounds.
+    grouped = ex.groupBy("sh").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("d"), F.col("__z").alias("z")))
+        ).alias("__ds")
+    )
+    inc = _pair_expansion(
+        F.col("__ds"),
+        lambda x, y: F.struct(
+            x["d"].alias("doc_a"),
+            y["d"].alias("doc_b"),
+            x["z"].alias("__za"),
+            y["z"].alias("__zb"),
+        ),
+    )
     guarded_stats = (
-        a.join(b, "sh")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        grouped.select(F.explode(inc).alias("p"))
+        .select("p.*")
         .groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("__ig"),
@@ -203,83 +287,80 @@ def ngram_jaccard_pairs(
             F.max("__zb").alias("__zb"),
         )
     )
-    if max_df is None:
-        pair_stats = guarded_stats.withColumn("__i", F.col("__ig"))
+    # candidate pairs share >= 1 guarded shingle, so guarded_stats IS
+    # the candidate set; correct its count with the high-df overlap.
+    # Shape matters here: the previous form exploded each candidate
+    # pair by docA's high-df shingles (join on doc_a) before matching
+    # docB — row count |pairs| x |hi-per-docA|, all landing in ONE
+    # sort-merge partition when a hot doc_a sits in millions of
+    # candidate pairs (measured: a single straggler task, 30+ GB,
+    # unbounded, at the 10x scale step where replication pushes most
+    # shingles over the df guard). Instead: aggregate each doc's
+    # high-df shingles into ONE sorted array and give every pair row
+    # its two arrays via 1:1 joins — zero row amplification, skew
+    # splittable by AQE, intersection computed per row. Row width is
+    # bounded by the doc's HIGH-DF shingle count (boilerplate — a few
+    # per doc under a production max_df that scales with corpus
+    # size), not by document size.
+    hikeep = dfreq.where(F.col("count") > max_df).select("sh")
+    hi = exz.join(hikeep, "sh")
+    if hi_chunks:
+        # width-bounded variant: hash-split each doc's high-df set
+        # into <= hi_chunks rows. chunk = xxhash64(sh) % K is the
+        # SAME for a shingle in every doc, so Ahi∩Bhi partitions
+        # disjointly by chunk and the per-chunk intersect sizes sum
+        # exactly. Missing chunks (either side) contribute 0 via the
+        # inner chunk join + left pair join below.
+        hic = (
+            hi.withColumn(
+                "__c", F.pmod(F.xxhash64("sh"), F.lit(hi_chunks)).cast("int")
+            )
+            .groupBy(id_col, "__c")
+            .agg(F.sort_array(F.collect_set("sh")).alias("__hs"))
+        )
+        ha = hic.select(
+            F.col(id_col).alias("doc_a"), "__c", F.col("__hs").alias("__ha")
+        )
+        hb = hic.select(
+            F.col(id_col).alias("doc_b"), "__c", F.col("__hs").alias("__hb")
+        )
+        hi_overlap = (
+            guarded_stats.select("doc_a", "doc_b")
+            .join(ha, "doc_a")
+            .join(hb, ["doc_b", "__c"])
+            .withColumn("__ihc", F.size(F.array_intersect("__ha", "__hb")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum("__ihc").alias("__ih"))
+        )
+        pair_stats = (
+            guarded_stats.join(hi_overlap, ["doc_a", "doc_b"], "left")
+            .withColumn(
+                "__i",
+                F.col("__ig") + F.coalesce(F.col("__ih"), F.lit(0)).cast("long"),
+            )
+        )
     else:
-        # candidate pairs share >= 1 guarded shingle, so guarded_stats IS
-        # the candidate set; correct its count with the high-df overlap.
-        # Shape matters here: the previous form exploded each candidate
-        # pair by docA's high-df shingles (join on doc_a) before matching
-        # docB — row count |pairs| x |hi-per-docA|, all landing in ONE
-        # sort-merge partition when a hot doc_a sits in millions of
-        # candidate pairs (measured: a single straggler task, 30+ GB,
-        # unbounded, at the 10x scale step where replication pushes most
-        # shingles over the df guard). Instead: aggregate each doc's
-        # high-df shingles into ONE sorted array and give every pair row
-        # its two arrays via 1:1 joins — zero row amplification, skew
-        # splittable by AQE, intersection computed per row. Row width is
-        # bounded by the doc's HIGH-DF shingle count (boilerplate — a few
-        # per doc under a production max_df that scales with corpus
-        # size), not by document size.
-        hikeep = dfreq.where(F.col("count") > max_df).select("sh")
-        hi = exz.join(hikeep, "sh")
-        if hi_chunks:
-            # width-bounded variant: hash-split each doc's high-df set
-            # into <= hi_chunks rows. chunk = xxhash64(sh) % K is the
-            # SAME for a shingle in every doc, so Ahi∩Bhi partitions
-            # disjointly by chunk and the per-chunk intersect sizes sum
-            # exactly. Missing chunks (either side) contribute 0 via the
-            # inner chunk join + left pair join below.
-            hic = (
-                hi.withColumn(
-                    "__c", F.pmod(F.xxhash64("sh"), F.lit(hi_chunks)).cast("int")
-                )
-                .groupBy(id_col, "__c")
-                .agg(F.sort_array(F.collect_set("sh")).alias("__hs"))
+        hi_sets = hi.groupBy(id_col).agg(
+            F.sort_array(F.collect_set("sh")).alias("__hs")
+        )
+        ha = hi_sets.select(
+            F.col(id_col).alias("doc_a"), F.col("__hs").alias("__ha")
+        )
+        hb = hi_sets.select(
+            F.col(id_col).alias("doc_b"), F.col("__hs").alias("__hb")
+        )
+        pair_stats = (
+            guarded_stats.join(ha, "doc_a", "left")
+            .join(hb, "doc_b", "left")
+            .withColumn(
+                "__ih",
+                F.when(
+                    F.col("__ha").isNotNull() & F.col("__hb").isNotNull(),
+                    F.size(F.array_intersect("__ha", "__hb")),
+                ).otherwise(F.lit(0)),
             )
-            ha = hic.select(
-                F.col(id_col).alias("doc_a"), "__c", F.col("__hs").alias("__ha")
-            )
-            hb = hic.select(
-                F.col(id_col).alias("doc_b"), "__c", F.col("__hs").alias("__hb")
-            )
-            hi_overlap = (
-                guarded_stats.select("doc_a", "doc_b")
-                .join(ha, "doc_a")
-                .join(hb, ["doc_b", "__c"])
-                .withColumn("__ihc", F.size(F.array_intersect("__ha", "__hb")))
-                .groupBy("doc_a", "doc_b")
-                .agg(F.sum("__ihc").alias("__ih"))
-            )
-            pair_stats = (
-                guarded_stats.join(hi_overlap, ["doc_a", "doc_b"], "left")
-                .withColumn(
-                    "__i",
-                    F.col("__ig") + F.coalesce(F.col("__ih"), F.lit(0)).cast("long"),
-                )
-            )
-        else:
-            hi_sets = hi.groupBy(id_col).agg(
-                F.sort_array(F.collect_set("sh")).alias("__hs")
-            )
-            ha = hi_sets.select(
-                F.col(id_col).alias("doc_a"), F.col("__hs").alias("__ha")
-            )
-            hb = hi_sets.select(
-                F.col(id_col).alias("doc_b"), F.col("__hs").alias("__hb")
-            )
-            pair_stats = (
-                guarded_stats.join(ha, "doc_a", "left")
-                .join(hb, "doc_b", "left")
-                .withColumn(
-                    "__ih",
-                    F.when(
-                        F.col("__ha").isNotNull() & F.col("__hb").isNotNull(),
-                        F.size(F.array_intersect("__ha", "__hb")),
-                    ).otherwise(F.lit(0)),
-                )
-                .withColumn("__i", F.col("__ig") + F.col("__ih"))
-            )
+            .withColumn("__i", F.col("__ig") + F.col("__ih"))
+        )
     jac = F.col("__i") / (F.col("__za") + F.col("__zb") - F.col("__i"))
     return pair_stats.select(
         "doc_a",
@@ -645,14 +726,22 @@ def embedding_neardup_pairs(
     cross-bucket cells emit least/greatest ids."""
     from glinerswift_spark.sources.pages import widen_small_scan
 
+    from glinerswift_spark.functions.hashing import dot_product, l2_norm
+
     cols = [id_col, vec_col] + ([block_col] if block_col else [])
     bk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
-    base = widen_small_scan(emb, id_col).select(*cols, bk.alias("__bk"))
+    # per-row l2 norm precomputed BEFORE the grid-cell explode: one fold
+    # per vector instead of one per candidate pair (and per replica) —
+    # same expression, same fold order, bit-identical cosines
+    base = widen_small_scan(emb, id_col).select(
+        *cols, bk.alias("__bk"), l2_norm(F.col(vec_col)).alias("__n")
+    )
     blk = [F.col(block_col)] if block_col else []
     a = base.select(
         *blk,
         F.col(id_col).alias("__ia"),
         F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
         F.col("__bk").alias("__p"),
         F.explode(F.sequence(F.col("__bk"), F.lit(n_buckets - 1))).alias("__q"),
     )
@@ -660,6 +749,7 @@ def embedding_neardup_pairs(
         *blk,
         F.col(id_col).alias("__ib"),
         F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
         F.explode(F.sequence(F.lit(0), F.col("__bk"))).alias("__p"),
         F.col("__bk").alias("__q"),
     )
@@ -667,7 +757,7 @@ def embedding_neardup_pairs(
     joined = a.join(b, on=on).where(
         (F.col("__p") < F.col("__q")) | (F.col("__ia") < F.col("__ib"))
     )
-    c = cosine(F.col("__va"), F.col("__vb"))
+    c = dot_product(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (
         joined.select(
             F.least("__ia", "__ib").alias("vec_a"),

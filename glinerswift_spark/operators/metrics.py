@@ -122,7 +122,15 @@ def stage_timing_report(
             }
         )
 
-    per_partition = df.select(text_col).mapInPandas(run, TIMING_SCHEMA)
+    from glinerswift_spark.sources.pages import widen_small_scan
+
+    # widen when the scan is narrower than core count (a single-row-group
+    # parquet ran the whole instrumented pass on one task; no-op at
+    # scale). Keyed on the text itself — the only column this pass ships.
+    # Stage sums/doc counts are invariant to partitioning.
+    per_partition = widen_small_scan(df.select(text_col), text_col).mapInPandas(
+        run, TIMING_SCHEMA
+    )
     return per_partition.groupBy("stage").agg(
         F.round(F.sum("seconds"), 4).alias("seconds"),
         F.sum("docs").alias("docs"),

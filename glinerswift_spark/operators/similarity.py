@@ -36,7 +36,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
-from glinerswift_spark.functions.hashing import cosine, dot_product
+from glinerswift_spark.functions.hashing import dot_product
 from glinerswift_spark.scoring.backends import _hash_vec
 
 
@@ -47,11 +47,28 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(query_id, neighbor_id, rank) — rank by round(cos,6) desc, id asc."""
+    """(query_id, neighbor_id, rank) — rank by round(cos,6) desc, id asc.
+
+    Round-6 shape notes: the corpus side is widened when the scan is
+    narrower than core count (a single-row-group parquet pinned ALL
+    pairwise cosines to one task; no-op at scale), and both sides carry
+    their l2 norm as a precomputed column — one array fold per ROW
+    instead of one per PAIR. The cosine is the same expression
+    (dot / (||q|| * ||c||), identical fold order and rounding), so
+    scores are bit-identical to the per-pair form."""
+    from glinerswift_spark.functions.hashing import l2_norm
+    from glinerswift_spark.sources.pages import widen_small_scan
+
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = widen_small_scan(emb, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -59,7 +76,11 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos"),
+            F.round(
+                dot_product(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -136,6 +157,7 @@ def ivf_topk(
         .select(
             "neighbor_id",
             "__cv",
+            F.col("__nrm").alias("__cn"),
             (
                 F.array_max(scored_cells(F.col("__cv"), F.col("__nrm")))["n"]
                 * F.lit(-1)
@@ -152,6 +174,7 @@ def ivf_topk(
         .select(
             "query_id",
             "__qv",
+            F.col("__nrm").alias("__qn"),
             F.explode(
                 F.transform(
                     F.slice(
@@ -166,6 +189,8 @@ def ivf_topk(
             ).alias("cell"),
         )
     )
+    # norms already computed once per row for cell assignment ride into
+    # the candidate cosine — same expression, bit-identical scores
     cand = (
         F.broadcast(probes)
         .join(assigned, "cell")
@@ -173,7 +198,11 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos"),
+            F.round(
+                dot_product(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -218,6 +247,14 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in any table."""
+    from glinerswift_spark.functions.hashing import l2_norm
+    from glinerswift_spark.sources.pages import widen_small_scan
+
+    # widen once before the per-table signature selects (each table's
+    # branch re-reads the widened relation; no-op at scale), and carry
+    # per-row norms so the candidate cosine is one fold per pair, not
+    # three — same expression, same fold order, bit-identical scores
+    emb = widen_small_scan(emb, id_col)
     tagged_c = None
     tagged_q = None
     for t in range(num_tables):
@@ -226,10 +263,12 @@ def lsh_bucketed_topk(
         c_t = emb.select(
             F.lit(t).alias("tbl"), sig.alias("bucket"),
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+            l2_norm(F.col(vec_col)).alias("__cn"),
         )
         q_t = queries.select(
             F.lit(t).alias("tbl"), sig.alias("bucket"),
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
         )
         tagged_c = c_t if tagged_c is None else tagged_c.unionByName(c_t)
         tagged_q = q_t if tagged_q is None else tagged_q.unionByName(q_t)
@@ -241,7 +280,11 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos"),
+            F.round(
+                dot_product(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cos"),
         )
         .distinct()
     )
@@ -309,6 +352,12 @@ def sq8_topk(
     shuffled, ties break by neighbor id. Every scoring step is IEEE
     +,-,*,/ and sqrt (correctly rounded by IEEE 754 — no libm), rounded
     to 6, so the DuckDB oracle replays codes AND ranking exactly."""
+    from glinerswift_spark.sources.pages import widen_small_scan
+
+    # widen once: the min/max training pass, and the corpus
+    # quantize+dequantize+cosine pass below, otherwise both run inside a
+    # single-row-group scan's one task (no-op at scale)
+    emb = widen_small_scan(emb, id_col)
     stats = (
         emb.select(F.posexplode(vec_col).alias("__pos", "__x"))
         .groupBy("__pos")

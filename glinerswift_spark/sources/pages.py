@@ -22,6 +22,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 STRAGGLER_WAVES = 4  # tasks per core for chunky per-row work (see below)
 
+# Minimum rows per widened task before extra waves pay for themselves:
+# every task carries fixed Python-worker + Arrow setup cost, so widening
+# 50 rows to waves*cores tasks leaves most tasks empty and every one
+# paying overhead (the round-5 regression: 50 docs -> 128 partitions
+# halved the driver's encoder-file throughput, 56.1 -> 28.1 docs/s).
+WIDEN_ROWS_PER_TASK = 2
+
 
 def widen_small_scan(df: DataFrame, key: str, waves: int = 1) -> DataFrame:
     """Hash-repartition on ``key`` ONLY when the upstream plan yields
@@ -55,6 +62,16 @@ def widen_small_scan(df: DataFrame, key: str, waves: int = 1) -> DataFrame:
 
     Callers with a configurable backend pick per spec: an attached
     hidden_states_provider means chunky rows (operators/extract.py).
+
+    For ``waves > 1`` the widened partition count is additionally CAPPED
+    by input size: ``min(waves * cores, max(cores, ceil(n_rows /
+    WIDEN_ROWS_PER_TASK)))``. Straggler smoothing only pays when there
+    are enough rows to fill the extra task waves; below that, every
+    extra task is pure fixed overhead (the round-5 encoder-file
+    regression: 50 docs widened to 128 partitions). The row count costs
+    one extra scan job, paid ONLY on the chunky-row path where the guard
+    already established the input is a sub-core-count scan and per-row
+    inference cost dwarfs it.
     """
     if df.isStreaming:
         # partition introspection (df.rdd) is illegal on a streaming
@@ -63,9 +80,13 @@ def widen_small_scan(df: DataFrame, key: str, waves: int = 1) -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
-        return df.repartition(waves * cores, F.col(key))
-    return df
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    n = waves * cores
+    if waves > 1:
+        n_rows = df.count()
+        n = min(n, max(cores, -(-n_rows // WIDEN_ROWS_PER_TASK)))
+    return df.repartition(n, F.col(key))
 
 
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -177,17 +177,20 @@ def test_adversarial_inputs_long_doc_and_extreme_threshold(spark):
 def test_widen_waves_selected_per_backend(spark, tmp_path):
     # cheap backends (gazetteer/hash) must widen to EXACTLY one task
     # wave per core; an attached hidden_states_provider means chunky
-    # per-row work and gets STRAGGLER_WAVES. Measured basis in
-    # sources/pages.widen_small_scan (the alternating sf0.1 A/B: 4
-    # waves ~2x slower for gazetteer, 30-50% tail win for a d=512
-    # encoder) — this pins the selection so a blanket default can't
-    # regress either side.
+    # per-row work and gets STRAGGLER_WAVES — but ONLY when the input is
+    # large enough to fill the extra waves (round-6 fix for the r5
+    # encoder-file regression: 50 docs widened to waves*cores mostly-
+    # empty tasks). Measured basis in sources/pages.widen_small_scan —
+    # this pins BOTH regimes so neither side can regress.
     from glinerswift_spark.scoring.backends import PromptEncodingSpec
     from glinerswift_spark.scoring.encoder import (
         FileEncoderProvider,
         NumpyEncoder,
     )
-    from glinerswift_spark.sources.pages import STRAGGLER_WAVES
+    from glinerswift_spark.sources.pages import (
+        STRAGGLER_WAVES,
+        WIDEN_ROWS_PER_TASK,
+    )
 
     cores = spark.sparkContext.defaultParallelism
     df = spark.createDataFrame(
@@ -206,5 +209,19 @@ def test_widen_waves_selected_per_backend(spark, tmp_path):
         dim=16,
         hidden_states_provider=FileEncoderProvider(weights_dir=str(tmp_path)),
     )
-    chunky = extract_entities(df, ["person"], spec, threshold=0.3)
-    assert chunky.rdd.getNumPartitions() == STRAGGLER_WAVES * cores
+    # small input: the size cap wins — ceil(50/ROWS_PER_TASK) = 25 < cores,
+    # so the encoder job gets exactly one wave, not waves*cores empties
+    chunky_small = extract_entities(df, ["person"], spec, threshold=0.3)
+    expected_small = min(
+        STRAGGLER_WAVES * cores, max(cores, -(-50 // WIDEN_ROWS_PER_TASK))
+    )
+    assert chunky_small.rdd.getNumPartitions() == expected_small
+    # large input: enough rows to fill every wave — full widening stands
+    # (the d=512 wide-encoder smoothing must survive the cap)
+    n_big = STRAGGLER_WAVES * cores * WIDEN_ROWS_PER_TASK
+    big = spark.createDataFrame(
+        [(i, "john smith works at apple") for i in range(n_big)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    chunky_big = extract_entities(big, ["person"], spec, threshold=0.3)
+    assert chunky_big.rdd.getNumPartitions() == STRAGGLER_WAVES * cores
