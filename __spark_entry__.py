@@ -127,6 +127,31 @@ def _kg_cached(spark, sf_dir):
     return kg
 
 
+def _shingles_cached(spark, sf_dir):
+    """Session-shared (doc_id, shingles) relation for the dedup battery
+    (VERDICT r5 item 5): minhash, jaccard, near-dup CC and dedup_kept all
+    rebuild the same 3-gram shingle relation; one persisted copy per
+    (session, sf_dir) makes the shingling pass run once per session.
+    LAZY persist (no eager count): measured at sf0.1, an eager
+    materialization job costs more than the AQE double-compute it guards
+    against (jaccard 1.79 s lazy vs 2.22 s eager, minhash 1.54 vs 1.93,
+    min of 4). Lineage stays intact, so a harness that force-unpersists
+    between timed queries (bench._drop_leaked_state) keeps every query
+    contractually standalone; results are byte-identical either way."""
+    key = (spark.sparkContext.applicationId, sf_dir, "shingles3")
+    df = _SESSION_CACHE.get(key)
+    if df is None:
+        from pyspark.storagelevel import StorageLevel
+
+        from glinerswift_spark.operators.dedup import doc_shingles
+
+        df = doc_shingles(_docs(spark, sf_dir), 3).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _SESSION_CACHE[key] = df
+    return df
+
+
 def _q_kg_entities(spark, sf_dir):
     ents = _entities_cached(spark, sf_dir)
     return ents.select(
@@ -175,7 +200,8 @@ def _q_minhash_pairs(spark, sf_dir):
     from glinerswift_spark.operators.dedup import minhash_candidate_pairs
 
     return minhash_candidate_pairs(
-        _docs(spark, sf_dir), n=3, num_bands=4, max_bucket_size=LSH_MAX_BUCKET
+        _docs(spark, sf_dir), n=3, num_bands=4, max_bucket_size=LSH_MAX_BUCKET,
+        shingles=_shingles_cached(spark, sf_dir),
     )
 
 
@@ -183,7 +209,8 @@ def _q_ngram_jaccard_dups(spark, sf_dir):
     from glinerswift_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), n=3, threshold=JACCARD_TAU, max_df=NGRAM_MAX_DF
+        _docs(spark, sf_dir), n=3, threshold=JACCARD_TAU, max_df=NGRAM_MAX_DF,
+        shingles=_shingles_cached(spark, sf_dir),
     )
 
 
@@ -192,7 +219,8 @@ def _q_near_dedup_components(spark, sf_dir):
     from glinerswift_spark.operators.dedup import ngram_jaccard_pairs
 
     pairs = ngram_jaccard_pairs(
-        _docs(spark, sf_dir), n=3, threshold=JACCARD_TAU, max_df=NGRAM_MAX_DF
+        _docs(spark, sf_dir), n=3, threshold=JACCARD_TAU, max_df=NGRAM_MAX_DF,
+        shingles=_shingles_cached(spark, sf_dir),
     )
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
     return cc.select(F.col("node").alias("doc_id"), "component")
@@ -206,7 +234,8 @@ def _q_dedup_kept(spark, sf_dir):
     from glinerswift_spark.operators.dedup import dedup_corpus_keep
 
     return dedup_corpus_keep(
-        _docs(spark, sf_dir), n=3, threshold=JACCARD_TAU, max_df=NGRAM_MAX_DF
+        _docs(spark, sf_dir), n=3, threshold=JACCARD_TAU, max_df=NGRAM_MAX_DF,
+        shingles=_shingles_cached(spark, sf_dir),
     )
 
 
@@ -1420,66 +1449,15 @@ def _q_node_centroids(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING for the round driver (not semantics): the
     # driver's CORRECTNESS capture records only the FIRST 50 entries.
-    # Rounds 2-4 witnessed the same first-50; the 26 entries added in
-    # round 3 never entered the window.  Round-5 rotation (VERDICT r4
-    # item 3): the 26 previously-unwitnessed queries lead, followed by
-    # 24 flagship veterans (driver-green in r2-r4), then the remaining
-    # 26 veterans.  All 76 keep full DuckDB oracles either way —
+    # The halves ALTERNATE each round so no query's driver evidence goes
+    # stale by more than one round (VERDICT r5 item 4): round 5 led with
+    # the 26 round-3 additions; round 6 leads with the 26 veterans that
+    # rotated out in round 5 (last driver-witnessed in round 4). The 24
+    # flagship veterans in the middle stay inside every window. All 76
+    # keep full DuckDB oracles either way —
     # `python tools/check_oracles.py <sf_dir>` checks every entry.
     return {
-        # --- 26 rotated IN (driver-unwitnessed before round 5) ---
-        "events_funnel": _q_events_funnel,
-        "events_retention": _q_events_retention,
-        "source_concentration": _q_source_concentration,
-        "corpus_rollup": _q_corpus_rollup,
-        "extraction_prf": _q_extraction_prf,
-        "lang_pivot": _q_lang_pivot,
-        "repetition_filter": _q_repetition_filter,
-        "vocab_top": _q_vocab_top,
-        "bloom_decontaminate": _q_bloom_decontaminate,
-        "boilerplate_top": _q_boilerplate_top,
-        "tfidf_keywords": _q_tfidf_keywords,
-        "pii_scan": _q_pii_scan,
-        "vocab_sketch": _q_vocab_sketch,
-        "kg_pagerank": _q_kg_pagerank,
-        "mixture_plan": _q_mixture_plan,
-        "cooccur_triangles": _q_cooccur_triangles,
-        "kg_communities": _q_kg_communities,
-        "kg_metapaths": _q_kg_metapaths,
-        "kg_kcore": _q_kg_kcore,
-        "kg_edge_diff": _q_kg_edge_diff,
-        "kg_negatives": _q_kg_negatives,
-        "kg_edge_timespan": _q_kg_edge_timespan,
-        "domain_stats": _q_domain_stats,
-        "url_dedup": _q_url_dedup,
-        "host_quality": _q_host_quality,
-        "node_centroids": _q_node_centroids,
-        # --- 24 flagship veterans (stay in the first-50 window) ---
-        "kg_entities": _q_kg_entities,
-        "kg_triples": _q_kg_triples,
-        "kg_entity_summary": _q_kg_entity_summary,
-        "kg_nodes": _q_kg_nodes,
-        "kg_edges": _q_kg_edges,
-        "exact_dedup": _q_exact_dedup,
-        "minhash_pairs": _q_minhash_pairs,
-        "ngram_jaccard_dups": _q_ngram_jaccard_dups,
-        "simhash_pairs": _q_simhash_pairs,
-        "near_dedup_components": _q_near_dedup_components,
-        "dedup_kept": _q_dedup_kept,
-        "embedding_neardup": _q_embedding_neardup,
-        "ann_topk": _q_ann_topk,
-        "ann_ivf": _q_ann_ivf,
-        "ann_lsh": _q_ann_lsh,
-        "ann_sq8": _q_ann_sq8,
-        "structure_fields": _q_structure_fields,
-        "structure_instances": _q_structure_instances,
-        "window_top_docs": _q_window_top_docs,
-        "events_asof": _q_events_asof,
-        "stratified_sample": _q_stratified_sample,
-        "decontaminate": _q_decontaminate,
-        "tpch_q1": _q_tpch_q1,
-        "classify_gazetteer": _q_classify_gazetteer,
-        # --- 26 rotated OUT (driver-green rounds 2-4; oracles intact) ---
+        # --- 26 rotated IN for round 6 (last driver-witnessed round 4) ---
         "kg_top_relations": _q_kg_top_relations,
         "schema_entities": _q_schema_entities,
         "schema_structures": _q_schema_structures,
@@ -1506,6 +1484,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5ish": _q_tpch_q5ish,
         "kg_degree": _q_kg_degree,
         "cooccur_lift": _q_cooccur_lift,
+        # --- 24 flagship veterans (stay in the first-50 window) ---
+        "kg_entities": _q_kg_entities,
+        "kg_triples": _q_kg_triples,
+        "kg_entity_summary": _q_kg_entity_summary,
+        "kg_nodes": _q_kg_nodes,
+        "kg_edges": _q_kg_edges,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_pairs": _q_minhash_pairs,
+        "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+        "simhash_pairs": _q_simhash_pairs,
+        "near_dedup_components": _q_near_dedup_components,
+        "dedup_kept": _q_dedup_kept,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
+        "ann_lsh": _q_ann_lsh,
+        "ann_sq8": _q_ann_sq8,
+        "structure_fields": _q_structure_fields,
+        "structure_instances": _q_structure_instances,
+        "window_top_docs": _q_window_top_docs,
+        "events_asof": _q_events_asof,
+        "stratified_sample": _q_stratified_sample,
+        "decontaminate": _q_decontaminate,
+        "tpch_q1": _q_tpch_q1,
+        "classify_gazetteer": _q_classify_gazetteer,
+        # --- 26 rotated OUT (driver-green in round 5; oracles intact) ---
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "source_concentration": _q_source_concentration,
+        "corpus_rollup": _q_corpus_rollup,
+        "extraction_prf": _q_extraction_prf,
+        "lang_pivot": _q_lang_pivot,
+        "repetition_filter": _q_repetition_filter,
+        "vocab_top": _q_vocab_top,
+        "bloom_decontaminate": _q_bloom_decontaminate,
+        "boilerplate_top": _q_boilerplate_top,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "pii_scan": _q_pii_scan,
+        "vocab_sketch": _q_vocab_sketch,
+        "kg_pagerank": _q_kg_pagerank,
+        "mixture_plan": _q_mixture_plan,
+        "cooccur_triangles": _q_cooccur_triangles,
+        "kg_communities": _q_kg_communities,
+        "kg_metapaths": _q_kg_metapaths,
+        "kg_kcore": _q_kg_kcore,
+        "kg_edge_diff": _q_kg_edge_diff,
+        "kg_negatives": _q_kg_negatives,
+        "kg_edge_timespan": _q_kg_edge_timespan,
+        "domain_stats": _q_domain_stats,
+        "url_dedup": _q_url_dedup,
+        "host_quality": _q_host_quality,
+        "node_centroids": _q_node_centroids,
     }
 
 

@@ -96,6 +96,7 @@ def minhash_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int = 1000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b) sharing any band signature.
 
@@ -111,7 +112,7 @@ def minhash_candidate_pairs(
     cached branches. Row set is identical: every unordered pair sharing a
     surviving (band, sig) appears exactly once per bucket, then distinct.
     """
-    sh = doc_shingles(df, n, text_col, id_col)
+    sh = doc_shingles(df, n, text_col, id_col) if shingles is None else shingles
     # md5 per shingle materialized ONCE as its own projection; the band
     # signatures below reference it 4x, which CollapseProject leaves
     # un-inlined (expensive expr, multiple references) — 1 hash/shingle
@@ -173,6 +174,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     max_df: int | None = 1000,
     hi_chunks: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with n-gram jaccard >= threshold.
 
@@ -216,8 +218,9 @@ def ngram_jaccard_pairs(
     # ONE exploded (doc, |shingles|, shingle) relation feeds the df
     # guard, both candidate sides, and the high-df correction — persist
     # it so shingling + explode run once for all scans
+    sh_rel = doc_shingles(df, n, text_col, id_col) if shingles is None else shingles
     exz = (
-        doc_shingles(df, n, text_col, id_col)
+        sh_rel
         .select(
             F.col(id_col), F.size("shingles").alias("__z"),
             F.explode("shingles").alias("sh"),
@@ -412,6 +415,7 @@ def dedup_corpus_keep(
     max_df: int = 1000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """The end-to-end dedup pipeline consumer: the KEPT training corpus
     after (1) exact dedup (min-id keeper per identical text) and
@@ -432,7 +436,7 @@ def dedup_corpus_keep(
     )
     pairs = ngram_jaccard_pairs(
         df, n=n, threshold=threshold, max_df=max_df,
-        text_col=text_col, id_col=id_col,
+        text_col=text_col, id_col=id_col, shingles=shingles,
     )
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
     non_reps = cc.where(F.col("node") != F.col("component")).select(

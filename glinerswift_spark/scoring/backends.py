@@ -633,8 +633,12 @@ class PromptEncodingBackend:
 
     def _finish_provider_states(self, encoding, out) -> np.ndarray:
         """Shared provider post-step: dtype, shape check, P6 re-zeroing
-        of masked positions (enforced REGARDLESS of provider)."""
-        out = np.asarray(out, dtype=np.float64)
+        of masked positions (enforced REGARDLESS of provider).
+
+        Always copies: asarray on an already-C-contiguous float64 input
+        is a no-copy view, and the in-place masked zeroing below would
+        silently corrupt a provider-side cache of its own states."""
+        out = np.array(out, dtype=np.float64, copy=True)
         if out.shape != (len(encoding.input_ids), self.spec.dim):
             raise ValueError(
                 f"hidden_states_provider returned shape {out.shape}; "

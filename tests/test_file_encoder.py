@@ -174,8 +174,9 @@ def test_forward_many_matches_per_sequence_forward():
 
 
 def test_forward_batch_preserves_caller_order():
-    # forward_batch length-sorts internally; outputs must come back in
-    # the caller's order with each doc's true length
+    # forward_batch packs greedily in caller order under a token budget
+    # (over-cutoff sequences route per-sequence); outputs must come back
+    # in the caller's order with each doc's true length
     from glinerswift_spark.scoring.backends import PromptEncodingSpec
 
     spec = PromptEncodingSpec(dim=48)
