@@ -143,10 +143,14 @@ def minhash_candidate_pairs(
 
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
 
+    # census filter: buckets above the quadratic guard AND singleton
+    # buckets (count == 1) — a lone doc in a bucket can produce no pair,
+    # so dropping it here is result-identical and at web scale removes
+    # the (dominant) unique-signature mass before any postings collect
     bounded = sigs.join(
         sigs.groupBy("band", "sig")
         .count()
-        .where(F.col("count") <= max_bucket_size)
+        .where((F.col("count") <= max_bucket_size) & (F.col("count") >= 2))
         .select("band", "sig"),
         ["band", "sig"],
     )
@@ -253,7 +257,14 @@ def ngram_jaccard_pairs(
         ).where(F.col("jaccard") >= threshold)
 
     dfreq = exz.groupBy("sh").count()
-    keep = dfreq.where(F.col("count") <= max_df).select("sh")
+    # guarded = df <= max_df AND df >= 2: a shingle appearing in ONE doc
+    # can be shared by no pair, contributes nothing to any intersection
+    # count (per-doc set sizes ride in __z, not in this relation), and
+    # at web scale unique shingles are the dominant mass — dropping them
+    # here shrinks the postings build by that mass, result-identical
+    keep = dfreq.where(
+        (F.col("count") <= max_df) & (F.col("count") >= 2)
+    ).select("sh")
     ex = exz.join(keep, "sh")
     # Candidate generation + intersection counting in ONE grouped pass
     # (round-6, guide §2.4): the guarded exploded relation, grouped by

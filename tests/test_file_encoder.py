@@ -247,3 +247,25 @@ def test_forward_batch_degenerate_inputs(tmp_path):
     np.testing.assert_allclose(
         got[1], enc.forward(one.input_ids, one.attention_mask), atol=1e-5
     )
+
+
+def test_pack_limits_pinned_at_three_widths(tmp_path):
+    # The token budget is BYTES-derived from the measured d=512 cache
+    # anchor (PACK_BYTES_BUDGET ≈ 25 MB of [sumT, 4d] fp32 FFN
+    # intermediate); this pins the derived (per-seq cutoff, token
+    # budget) at the three measured widths so a budget change is a
+    # conscious re-measurement, not an accident:
+    #   d=64  toy      — cutoff capped at the measured 256 (d=64 sweep:
+    #                    crossover ~T=150; cap overshoot documented)
+    #   d=512 anchor   — 3,072-token budget, cutoff capped at 256
+    #   d=768 GLiNER2  — 2,048-token budget, cutoff 170; round-6 sweep
+    #                    (B=16, pinned core): packed wins 2.21x @T=10,
+    #                    1.23x @T=100, 1.05x @T=200, loses 0.53x @T=400
+    #                    → measured crossover ≈ T=200-250, so the 170
+    #                    cutoff routes only winners through packing.
+    enc = NumpyEncoder.seeded(dim=16, n_layers=1, vocab=64, key="t:lim")
+    enc.save(str(tmp_path))
+    provider = FileEncoderProvider(weights_dir=str(tmp_path))
+    assert provider._pack_limits(64) == (256, 24576)
+    assert provider._pack_limits(512) == (256, 3072)
+    assert provider._pack_limits(768) == (170, 2048)
