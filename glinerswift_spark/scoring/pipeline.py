@@ -200,27 +200,41 @@ def extract_documents_batch(
     out: list = [None] * len(texts)
     pending: list = []  # (row index, text, spans)
 
-    def flush():
-        if not pending:
-            return
+    def score_or_split(items):
+        # One subword-dense doc must not sink the whole batch — and
+        # (ADVICE r5) must not demote its batch-mates to the per-doc
+        # path either: bisect on overflow, so the offending doc(s)
+        # isolate to singletons in O(log B) batch attempts and go
+        # through run_safe's re-chunking, while every clean doc still
+        # scores through the batched path. Residual caveat: a clean
+        # doc's sub-batch composition (hence fp32 GEMM packing) can
+        # still differ from the no-overflow run, so scores carry the
+        # same ~1e-5 reassociation tolerance the batched path always
+        # has vs per-doc.
         try:
             logits_list = score_batch(
-                [p[1] for p in pending], [p[2] for p in pending], labels
+                [p[1] for p in items], [p[2] for p in items], labels
             )
         except EncodingOverflowError:
-            # one subword-dense doc must not sink the whole batch: fall
-            # back to the per-document path, whose run_safe re-chunks
-            # the overflowing doc(s); the rest re-score identically
-            for i, text, _spans in pending:
+            if len(items) == 1:
+                i, text, _spans = items[0]
                 out[i] = extract_document(
                     text, labels, backend, threshold, config, label_groups
                 )
-            pending.clear()
+                return
+            mid = len(items) // 2
+            score_or_split(items[:mid])
+            score_or_split(items[mid:])
             return
-        for (i, text, spans), logits in zip(pending, logits_list):
+        for (i, text, spans), logits in zip(items, logits_list):
             out[i] = decode_document_logits(
                 logits, labels, thr, text, spans, groups
             )
+
+    def flush():
+        if not pending:
+            return
+        score_or_split(list(pending))
         pending.clear()
 
     for i, text in enumerate(texts):

@@ -350,6 +350,16 @@ def test_overflow_monster_token_degrades_to_empty():
     assert ents == []
 
 
+def _assert_ents_close(batch, solo, tol=1e-6):
+    assert len(batch) == len(solo)
+    for eb, es in zip(batch, solo):
+        assert [(e.text, e.label, e.start, e.end) for e in eb] == [
+            (e.text, e.label, e.start, e.end) for e in es
+        ]
+        for x, y in zip(eb, es):
+            assert abs(x.score - y.score) < tol, (x, y)
+
+
 def test_overflow_in_batch_matches_per_document_path():
     from glinerswift_spark.scoring.pipeline import (
         extract_document,
@@ -365,4 +375,44 @@ def test_overflow_in_batch_matches_per_document_path():
     ]
     batch = extract_documents_batch(docs, LABELS, b, threshold=0.05)
     solo = [extract_document(t, LABELS, b, threshold=0.05) for t in docs]
-    assert batch == solo
+    # round-6: clean batch-mates of an overflowing doc keep BATCHED
+    # scoring (bisection fallback), so identity is exact but scores may
+    # differ from the per-doc twin by float reassociation
+    _assert_ents_close(batch, solo)
+
+
+def test_overflow_batch_falls_back_only_for_overflowing_docs():
+    # ADVICE r5 / round-6: an overflowing batch member is isolated by
+    # bisection; its CLEAN batch-mates keep scoring through the batched
+    # path (score_documents), never the per-document score_document
+    # fallback. Spy on score_document: after the batch run it must have
+    # seen only re-chunked pieces of the overflowing doc.
+    from glinerswift_spark.scoring.pipeline import extract_documents_batch
+
+    b = _overflow_backend()
+    clean_a = "john smith"
+    clean_b = "works at apple"
+    monster = " ".join(["apple", "inc.", "hires", "john"] * 15)
+    seen = []
+    orig = b.score_document
+
+    def spy(text, spans, labels):
+        seen.append(text)
+        return orig(text, spans, labels)
+
+    b.score_document = spy
+    got = extract_documents_batch(
+        [clean_a, monster, clean_b], LABELS, b, threshold=0.05
+    )
+    assert seen, "the overflowing doc must route through the per-doc path"
+    assert all(piece in monster for piece in seen), seen
+    assert clean_a not in seen and clean_b not in seen
+    # results still match the per-document twin for every doc
+    from glinerswift_spark.scoring.pipeline import extract_document
+
+    b2 = _overflow_backend()
+    solo = [
+        extract_document(t, LABELS, b2, threshold=0.05)
+        for t in (clean_a, monster, clean_b)
+    ]
+    _assert_ents_close(got, solo)
