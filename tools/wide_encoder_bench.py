@@ -135,13 +135,19 @@ def main():
     ratio = args.high / args.low
     eff = (high["docs_per_sec"] / low["docs_per_sec"]) / ratio
     eff_best = (high["docs_per_sec_best"] / low["docs_per_sec_best"]) / ratio
+    # ADVICE r5: gate on ONE pre-declared estimator — best-of-3 at both
+    # levels (noise-deflation affects both levels the same way); taking
+    # max(eff, eff_best) let two differently-biased estimators vote and
+    # skewed the check toward passing. Both efficiencies are still
+    # reported; the JSON records which estimator the rule used.
     print(json.dumps({
         "encoder": {"dim": args.dim, "layers": args.layers,
                     "vocab": args.vocab},
         "low": low, "high": high, "core_ratio": ratio,
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_best": round(eff_best, 3),
-        "meets_north_rule_0.8": max(eff, eff_best) >= 0.8,
+        "gate_estimator": "scaling_efficiency_best",
+        "meets_north_rule_0.8": eff_best >= 0.8,
     }))
 
 
