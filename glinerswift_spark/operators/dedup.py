@@ -211,11 +211,12 @@ def ngram_jaccard_pairs(
     shingle arrays per candidate pair). It is also nearly FREE: shingles
     split disjointly by document frequency into guarded (df <= max_df)
     and high-df, so |A∩B| = |A∩B ∩ guarded| + |A∩B ∩ high|. The first
-    term falls out of the SAME self-join that generates candidates (the
-    pair-count aggregate replaces the old ``distinct()`` at equal cost,
-    with |A|/|B| riding along as one int per row); the second term joins
-    only the high-df slice of the exploded relation (boilerplate — a few
-    shingles per doc) restricted to candidate pairs.
+    term falls out of the SAME grouped pass that generates candidates
+    (a pair-keyed count over the in-partition pair expansion, with
+    |A|/|B| riding along as one int per row — see the round-6 comment
+    below); the second term joins only the high-df slice of the exploded
+    relation (boilerplate — a few shingles per doc) restricted to
+    candidate pairs.
     """
     from pyspark import StorageLevel
 
